@@ -1,0 +1,176 @@
+"""Single-process tile index — the semantic reference for the Ray pipeline.
+
+Reproduces the reference's top-down quadtree split (`src/tile-index.ts`) and
+entry-point behavior (`src/geojsonvt.ts`) using the shared kernels. The Ray
+Data pipeline in ``geojson_vt_ray.ray_pipeline`` must produce identical tiles;
+tests assert both against the reference fixture corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..kernels.clip import AXIS_X, AXIS_Y, clip
+from ..kernels.convert import convert_to_internal
+from ..kernels.deconvert import convert_to_geojson
+from ..kernels.tile import create_tile, transform_tile
+from ..kernels.wrap import wrap
+from ..options import TilerOptions
+
+
+def tile_id(z: int, x: int, y: int) -> int:
+    """Packed tile key (reference `src/tile-index.ts:308-310`)."""
+    return ((1 << z) * y + x) * 32 + z
+
+
+class LocalTileIndex:
+    """In-memory quadtree tile index with lazy drill-down."""
+
+    def __init__(self, options: TilerOptions):
+        self.options = options
+        self.tiles: dict[int, dict] = {}
+        self.tile_coords: list[tuple[int, int, int]] = []
+
+    def initialize(self, features: list[dict]) -> None:
+        self._split_tile(features, 0, 0, 0)
+
+    def get_tile(self, z: int, x: int, y: int) -> Optional[dict]:
+        z = int(z)
+        x = int(x)
+        y = int(y)
+        extent = self.options.extent
+
+        z2 = 1 << z
+        x = (x + z2) & (z2 - 1)  # wrap tile x
+
+        tid = tile_id(z, x, y)
+        if tid in self.tiles:
+            return transform_tile(self.tiles[tid], extent)
+
+        # walk up to the nearest ancestor that retained its source features
+        z0, x0, y0 = z, x, y
+        parent = None
+        while parent is None and z0 > 0:
+            z0 -= 1
+            x0 >>= 1
+            y0 >>= 1
+            parent = self.tiles.get(tile_id(z0, x0, y0))
+
+        if parent is None or parent.get("source") is None:
+            return None
+
+        self._split_tile(parent["source"], z0, x0, y0, z, x, y)
+
+        if tid not in self.tiles:
+            return None
+        return transform_tile(self.tiles[tid], extent)
+
+    def _split_tile(
+        self,
+        features: list[dict],
+        z: int,
+        x: int,
+        y: int,
+        cz: Optional[int] = None,
+        cx: Optional[int] = None,
+        cy: Optional[int] = None,
+    ) -> None:
+        """BFS quadtree split with buffered 4-way clip (reference
+        `src/tile-index.ts:138-228`)."""
+        options = self.options
+        stack: list = [(features, z, x, y)]
+
+        while stack:
+            features, z, x, y = stack.pop()
+
+            z2 = 1 << z
+            tid = tile_id(z, x, y)
+            tile = self.tiles.get(tid)
+
+            if tile is None:
+                tile = create_tile(features, z, x, y, options)
+                self.tiles[tid] = tile
+                self.tile_coords.append((z, x, y))
+
+            # retain source so deeper zooms can drill from here
+            tile["source"] = features
+
+            if cz is None:
+                # first pass: stop at index frontier
+                if z == options.index_max_zoom or tile["numPoints"] <= options.index_max_points:
+                    continue
+            elif z == options.max_zoom or z == cz:
+                continue
+            else:
+                # drill-down: only descend toward the target tile
+                zoom_steps = cz - z
+                if x != cx >> zoom_steps or y != cy >> zoom_steps:
+                    continue
+
+            tile["source"] = None
+
+            if not features:
+                continue
+
+            k1 = 0.5 * options.buffer / options.extent
+            k2 = 0.5 - k1
+            k3 = 0.5 + k1
+            k4 = 1 + k1
+            lm = options.line_metrics
+
+            left = clip(features, z2, x - k1, x + k3, AXIS_X, tile["minX"], tile["maxX"], lm)
+            right = clip(features, z2, x + k2, x + k4, AXIS_X, tile["minX"], tile["maxX"], lm)
+
+            tl = bl = tr = br = None
+            if left:
+                tl = clip(left, z2, y - k1, y + k3, AXIS_Y, tile["minY"], tile["maxY"], lm)
+                bl = clip(left, z2, y + k2, y + k4, AXIS_Y, tile["minY"], tile["maxY"], lm)
+            if right:
+                tr = clip(right, z2, y - k1, y + k3, AXIS_Y, tile["minY"], tile["maxY"], lm)
+                br = clip(right, z2, y + k2, y + k4, AXIS_Y, tile["minY"], tile["maxY"], lm)
+
+            stack.append((tl or [], z + 1, x * 2, y * 2))
+            stack.append((bl or [], z + 1, x * 2, y * 2 + 1))
+            stack.append((tr or [], z + 1, x * 2 + 1, y * 2))
+            stack.append((br or [], z + 1, x * 2 + 1, y * 2 + 1))
+
+
+class LocalGeoJSONVT:
+    """Local equivalent of the reference `GeoJSONVT` facade (tiling mode)."""
+
+    def __init__(self, data: dict, options: Optional[TilerOptions] = None):
+        options = (options or TilerOptions()).validate()
+        self.options = options
+
+        features = convert_to_internal(data, options)
+        features = wrap(features, options)
+        self.source = features if options.updateable else None
+
+        self.index = LocalTileIndex(options)
+        if features:
+            self.index.initialize(features)
+
+    def get_tile(self, z, x, y) -> Optional[dict]:
+        z = int(z)
+        if z < 0 or z > 24:
+            return None
+        return self.index.get_tile(z, int(x), int(y))
+
+    def get_data(self) -> dict:
+        if not self.options.updateable:
+            raise ValueError("to retrieve data the `updateable` option must be set to true")
+        return convert_to_geojson(self.source)
+
+
+def gen_tiles(data: dict, options: Optional[TilerOptions] = None) -> dict[str, list]:
+    """Dump every indexed tile's transformed features keyed ``z{z}-{x}-{y}``
+    — mirrors the fixture dump format (`test/full.test.ts:52-72`)."""
+    options = (options or TilerOptions()).validate()
+    index = LocalTileIndex(options)
+    features = wrap(convert_to_internal(data, options), options)
+    if features:
+        index.initialize(features)
+    out = {}
+    for z, x, y in list(index.tile_coords):
+        out[f"z{z}-{x}-{y}"] = index.get_tile(z, x, y)["features"]
+    return out
