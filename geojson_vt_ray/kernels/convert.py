@@ -39,6 +39,13 @@ def convert_to_internal(data: dict, options: TilerOptions) -> list[dict]:
     return features
 
 
+def convert_single_feature(geojson_feature: dict, options: TilerOptions, index: Optional[int]) -> list[dict]:
+    """Convert one GeoJSON Feature (with collection index for generateId)."""
+    features: list[dict] = []
+    _feature_to_internal(features, geojson_feature, options, index)
+    return features
+
+
 def _feature_to_internal(
     features: list[dict], geojson: dict, options: TilerOptions, index: Optional[int], depth: int = 0
 ) -> None:

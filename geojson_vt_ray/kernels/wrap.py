@@ -25,13 +25,13 @@ def wrap(features: list[dict], options: TilerOptions) -> list[dict]:
 
     merged = clip(features, 1, -buffer, 1 + buffer, AXIS_X, -1, 2, options.line_metrics) or []
     if left:
-        merged = _shift_features(left, 1.0) + merged
+        merged = shift_features(left, 1.0) + merged
     if right:
-        merged = merged + _shift_features(right, -1.0)
+        merged = merged + shift_features(right, -1.0)
     return merged
 
 
-def _shift_features(features: list[dict], offset: float) -> list[dict]:
+def shift_features(features: list[dict], offset: float) -> list[dict]:
     out = []
     for feature in features:
         ftype = feature["type"]
