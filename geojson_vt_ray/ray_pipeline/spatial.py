@@ -1,0 +1,240 @@
+"""Spatial-join stages: cell/tile assignment, rectangle containment join,
+kNN, and point-in-polygon against sliced vector tiles.
+
+Patterns (SURVEY.md §2.8, §7 step 5):
+* tile/cell assignment — stateless vectorized ``map_batches`` (pure integer
+  bit arithmetic on the phash georeference; no float rounding).
+* small-side joins (rect layer, query points, polygon tile dict) — broadcast
+  once via ``ray.put``, read per actor/task inside ``map_batches``; no
+  shuffle.
+* kNN — per-batch vectorized partial top-k against the broadcast query
+  matrix, then a tiny ``groupby(query).map_groups`` merge: the shuffle moves
+  only k·Q·batches candidate rows, never the full point set.
+* PIP — polygons sliced to a fixed zoom by the tiler (tolerance=0 so
+  membership is unsimplified), grouped into a per-tile lookup, broadcast;
+  points ray-cast in tile space per batch. The like-keyed ``groupby``
+  co-partition variant applies when the polygon side outgrows broadcast.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..datagen.images import tile_xy
+
+
+def with_tile_xy(images: "ray.data.Dataset", z: int) -> "ray.data.Dataset":
+    """Exact integer tile assignment at zoom z from the phash bits."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        x, y = tile_xy(batch.column("phash").to_numpy(), z)
+        return batch.append_column("x", pa.array(x)).append_column("y", pa.array(y))
+
+    return images.map_batches(fn, batch_format="pyarrow")
+
+
+def rect_contain_join(points: "ray.data.Dataset", rects: dict[str, np.ndarray]) -> "ray.data.Dataset":
+    """images × rectangle layer containment join (broadcast small side).
+
+    Emits (image_id, rect_id) pairs where the image's mercator point lies in
+    [x0, x1) × [y0, y1).
+    """
+    rects_ref = ray.put(rects)
+
+    class RectJoin:
+        def __init__(self) -> None:
+            r = ray.get(rects_ref)
+            self.rect_id = r["rect_id"]
+            self.x0, self.x1 = r["x0"], r["x1"]
+            self.y0, self.y1 = r["y0"], r["y1"]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..datagen.images import mercator_xy
+
+            mx, my = mercator_xy(batch.column("phash").to_numpy())
+            ids = batch.column("image_id")
+            out_img: list = []
+            out_rect: list = []
+            # R is small (broadcast side); vectorize over the point axis
+            for j in range(len(self.rect_id)):
+                mask = (
+                    (mx >= self.x0[j]) & (mx < self.x1[j]) & (my >= self.y0[j]) & (my < self.y1[j])
+                )
+                idx = np.nonzero(mask)[0]
+                if len(idx):
+                    out_img.append(ids.take(pa.array(idx)))
+                    out_rect.append(np.full(len(idx), self.rect_id[j], dtype=np.int64))
+            if not out_img:
+                return pa.table(
+                    {"image_id": pa.array([], pa.string()), "rect_id": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    "image_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_img]),
+                    "rect_id": pa.array(np.concatenate(out_rect)),
+                }
+            )
+
+    return points.map_batches(RectJoin, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def knn_join(
+    points: "ray.data.Dataset",
+    query_phash: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Brute-force exact kNN of every query against the full point set.
+
+    Each batch emits its local top-k per query (distance², exact dyadic
+    arithmetic); a per-query merge keeps the global top-k ordered by
+    (distance², neighbor_id) for deterministic ties.
+    """
+    from ..datagen.images import mercator_xy
+
+    qmx, qmy = mercator_xy(query_phash)
+    refs = ray.put((qmx, qmy, np.asarray(query_ids)))
+
+    class PartialKnn:
+        def __init__(self) -> None:
+            self.qmx, self.qmy, self.qids = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mx, my = mercator_xy(batch.column("phash").to_numpy())
+            ids = batch.column("image_id").to_pylist()
+            dx = mx[None, :] - self.qmx[:, None]
+            dy = my[None, :] - self.qmy[:, None]
+            d2 = dx * dx + dy * dy  # (Q, B)
+            out_q: list = []
+            out_n: list = []
+            out_d: list = []
+            kk = min(k + 1 if exclude_self else k, d2.shape[1])
+            for qi in range(d2.shape[0]):
+                if kk < d2.shape[1]:
+                    part = np.argpartition(d2[qi], kk - 1)[:kk]
+                    # widen to all boundary ties so batch-local selection is
+                    # deterministic (the global merge breaks ties by id)
+                    thresh = d2[qi, part].max()
+                    part = np.nonzero(d2[qi] <= thresh)[0]
+                else:
+                    part = np.arange(d2.shape[1])
+                for j in part:
+                    out_q.append(int(self.qids[qi]))
+                    out_n.append(ids[j])
+                    out_d.append(float(d2[qi, j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.string()),
+                    "d2": pa.array(out_d, pa.float64()),
+                }
+            )
+
+    partial = points.map_batches(PartialKnn, batch_format="pyarrow", concurrency=(1, 4))
+
+    import pandas as pd
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["d2", "neighbor_id"], kind="mergesort")
+        if exclude_self:
+            qid = int(g["query_id"].iloc[0])
+            g = g[g["neighbor_id"] != f"img-{qid:012d}"]
+        return g.head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class TilePolygonIndex:
+    """Per-tile polygon lookup built from sliced vector tiles (type-3 tile
+    features in integer tile coordinates)."""
+
+    def __init__(self, tile_rows: list[dict], z: int, extent: int):
+        self.z = z
+        self.extent = extent
+        self.tiles: dict[tuple[int, int], list[tuple[object, list[np.ndarray]]]] = {}
+        for row in tile_rows:
+            if row["z"] != z:
+                continue
+            feats = json.loads(row["features_json"])
+            polys = []
+            for f in feats:
+                if f["type"] != 3:
+                    continue
+                rings = [np.asarray(r, dtype=np.float64) for r in f["geometry"] if len(r) >= 3]
+                if rings:
+                    polys.append((f.get("id"), rings))
+            if polys:
+                self.tiles[(row["x"], row["y"])] = polys
+
+    def contains(self, tx: int, ty: int, px: float, py: float) -> list:
+        """Even-odd ray-cast of a tile-space point against this tile's
+        polygons; returns matching polygon ids."""
+        out = []
+        for pid, rings in self.tiles.get((tx, ty), ()):  # type: ignore[arg-type]
+            inside = False
+            for ring in rings:
+                xs = ring[:, 0]
+                ys = ring[:, 1]
+                x1 = np.roll(xs, -1)
+                y1 = np.roll(ys, -1)
+                cross = ((ys > py) != (y1 > py)) & (
+                    px < (x1 - xs) * (py - ys) / (y1 - ys) + xs
+                )
+                inside ^= bool(np.count_nonzero(cross) % 2)
+            if inside:
+                out.append(pid)
+        return out
+
+
+def pip_join(
+    points: "ray.data.Dataset",
+    polygon_tiles: list[dict],
+    z: int,
+    extent: int = 4096,
+) -> "ray.data.Dataset":
+    """Point-in-polygon join: phash-georeferenced points × polygons sliced to
+    zoom-z tiles. Polygon side broadcast (small); points never shuffle."""
+    index_ref = ray.put(TilePolygonIndex(polygon_tiles, z, extent))
+
+    class PipStage:
+        def __init__(self) -> None:
+            self.index: TilePolygonIndex = ray.get(index_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..datagen.images import mercator_xy
+
+            phash = batch.column("phash").to_numpy()
+            mx, my = mercator_xy(phash)
+            tx, ty = tile_xy(phash, z)
+            ids = batch.column("image_id").to_pylist()
+            z2 = 1 << z
+            px = mx * z2
+            py = my * z2
+            out_img: list = []
+            out_poly: list = []
+            for j in range(len(ids)):
+                hits = self.index.contains(
+                    int(tx[j]),
+                    int(ty[j]),
+                    (px[j] - tx[j]) * extent,
+                    (py[j] - ty[j]) * extent,
+                )
+                for pid in hits:
+                    out_img.append(ids[j])
+                    out_poly.append(str(pid))
+            return pa.table(
+                {
+                    "image_id": pa.array(out_img, pa.string()),
+                    "poly_id": pa.array(out_poly, pa.string()),
+                }
+            )
+
+    return points.map_batches(PipStage, batch_format="pyarrow", concurrency=(1, 4))
