@@ -35,6 +35,31 @@ def rect_table(keys: np.ndarray) -> dict[str, np.ndarray]:
     }
 
 
+def rect_internal_features(keys: np.ndarray) -> list[dict]:
+    """The rectangles as *internal* projected polygon features with exact
+    dyadic corners (no lng/lat round trip) — feeds the tiler directly for
+    edge-exact PIP joins."""
+    from ..kernels.feature import Slice, create_feature
+
+    t = rect_table(keys)
+    out = []
+    for i in range(len(t["rect_id"])):
+        x0, x1 = t["x0"][i], t["x1"][i]
+        y0, y1 = t["y0"][i], t["y1"][i]
+        ring = [x0, y0, 1.0, x1, y0, 1.0, x1, y1, 1.0, x0, y1, 1.0, x0, y0, 1.0]
+        size = abs((x1 - x0) * (y1 - y0))
+        sl = Slice(ring, size, 0.0, size)
+        out.append(
+            create_feature(
+                int(t["rect_id"][i]),
+                "Polygon",
+                [sl],
+                {"name": f"rect-{int(t['rect_id'][i])}"},
+            )
+        )
+    return out
+
+
 def rect_geojson(keys: np.ndarray) -> dict:
     """The same rectangles as GeoJSON polygons (unprojected) — feeds the tiler
     for volume/skew benches and PIP tests."""

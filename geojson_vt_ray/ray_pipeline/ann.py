@@ -1,0 +1,175 @@
+"""Approximate/exact nearest-neighbor search over the embeddings table.
+
+* Brute-force cosine top-k — the exactness baseline. Per batch the
+  embedding block is matmul'd against the broadcast query matrix; partial
+  top-k (with boundary-tie widening) per query; tiny per-query merge. For
+  oracle comparability an in-order accumulation mode reproduces sequential
+  float64 summation (matching DuckDB's list_dot_product evaluation order)
+  instead of BLAS pairwise summation.
+* LSH-bucketed variant — random-hyperplane signatures bucket the vectors; a
+  query only scans its bucket (and optional neighboring buckets by Hamming
+  distance ≤1): the 100 TB path, trading recall for a bounded scan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    offsets = col.offsets.to_numpy()
+    dim = offsets[1] - offsets[0]
+    return values.reshape(len(col), dim)
+
+
+def _cosine_inorder(embs: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """Cosine similarities with strict left-to-right float64 accumulation over
+    the dimension axis (bit-matching a sequential SQL implementation)."""
+    n, d = embs.shape
+    q = queries.shape[0]
+    dot = np.zeros((q, n))
+    nq = np.zeros(queries.shape[0])
+    ne = np.zeros(n)
+    for j in range(d):
+        dot += queries[:, j : j + 1] * embs[None, :, j]
+        nq += queries[:, j] * queries[:, j]
+        ne += embs[:, j] * embs[:, j]
+    return dot / np.sqrt(nq[:, None] * ne[None, :])
+
+
+def brute_force_topk(
+    embeddings: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    exclude_self: bool = True,
+    inorder: bool = True,
+) -> "ray.data.Dataset":
+    """Exact cosine top-k of each query vector against the full table.
+
+    Returns (query_id, neighbor_id, cos_sim) rows, k per query, ordered by
+    (-cos_sim, neighbor_id) with deterministic tie handling.
+    """
+    refs = ray.put((np.asarray(query_vecs, dtype=np.float64), np.asarray(query_ids)))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.q, self.qids = ray.get(refs)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            embs = _emb_matrix(batch)
+            vec_ids = batch.column("vec_id").to_numpy()
+            if inorder:
+                sims = _cosine_inorder(embs, self.q)
+            else:
+                qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+                en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+                sims = qn @ en.T
+            kk = min(k + 1 if exclude_self else k, sims.shape[1])
+            out_q: list[int] = []
+            out_n: list[int] = []
+            out_s: list[float] = []
+            for qi in range(sims.shape[0]):
+                s = sims[qi]
+                if kk < len(s):
+                    part = np.argpartition(-s, kk - 1)[:kk]
+                    thresh = s[part].min()
+                    part = np.nonzero(s >= thresh)[0]  # widen boundary ties
+                else:
+                    part = np.arange(len(s))
+                for j in part:
+                    out_q.append(int(self.qids[qi]))
+                    out_n.append(int(vec_ids[j]))
+                    out_s.append(float(s[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "cos_sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["neighbor_id"] != g["query_id"].iloc[0]]
+        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def hyperplane_signatures(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Random-hyperplane LSH bucket ids (one bit per plane)."""
+    bits = (vectors @ planes.T) >= 0
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+    return (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+
+
+def lsh_topk(
+    embeddings: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """LSH-bucketed ANN: scan only the query's bucket. Scale path — recall is
+    evaluated against `brute_force_topk` in tests."""
+    rs = np.random.RandomState(seed)
+    dim = np.asarray(query_vecs).shape[1]
+    planes = rs.standard_normal((n_planes, dim))
+    qsig = hyperplane_signatures(np.asarray(query_vecs, dtype=np.float64), planes)
+    refs = ray.put((np.asarray(query_vecs, dtype=np.float64), np.asarray(query_ids), qsig, planes))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.q, self.qids, self.qsig, self.planes = ray.get(refs)
+            self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            embs = _emb_matrix(batch)
+            vec_ids = batch.column("vec_id").to_numpy()
+            esig = hyperplane_signatures(embs, self.planes)
+            en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+            out_q: list[int] = []
+            out_n: list[int] = []
+            out_s: list[float] = []
+            for qi in range(len(self.qids)):
+                mask = esig == self.qsig[qi]
+                if not mask.any():
+                    continue
+                sims = en[mask] @ self.qn[qi]
+                ids = vec_ids[mask]
+                kk = min(k + 1, len(sims))
+                part = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+                for j in part:
+                    out_q.append(int(self.qids[qi]))
+                    out_n.append(int(ids[j]))
+                    out_s.append(float(sims[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_n, pa.int64()),
+                    "cos_sim": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["neighbor_id"] != g["query_id"].iloc[0]]
+        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")

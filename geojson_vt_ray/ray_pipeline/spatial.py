@@ -194,6 +194,94 @@ class TilePolygonIndex:
         return out
 
 
+def slice_polygons_to_tiles(features: list[dict], z: int, extent: int = 4096) -> dict:
+    """Slice a (small) internal polygon layer to zoom-z tiles and return the
+    per-tile *untransformed* polygon lookup ``{(x,y): [(id, rings)]}`` with
+    rings as (n,2) world-coordinate arrays. Edge-exact: no integer rounding.
+
+    Driver-side (the polygon layer is the broadcast-small join side); the
+    large-side variant runs the same clip cascade distributed via the tiler.
+    """
+    from ..engine.local_index import LocalTileIndex
+    from ..options import TilerOptions
+
+    opts = TilerOptions(
+        max_zoom=z, index_max_zoom=z, index_max_points=0, tolerance=0.0, extent=extent
+    )
+    index = LocalTileIndex(opts)
+    if features:
+        index.initialize(features)
+    tiles: dict[tuple[int, int], list] = {}
+    for (tz, tx, ty) in index.tile_coords:
+        if tz != z:
+            continue
+        tile = index.tiles[((1 << tz) * ty + tx) * 32 + tz]
+        polys = []
+        for f in tile["features"]:
+            if f["type"] != 3:
+                continue
+            rings = [
+                np.asarray(r, dtype=np.float64).reshape(-1, 2)
+                for r in f["geometry"]
+                if len(r) >= 6
+            ]
+            if rings:
+                polys.append((f.get("id"), rings))
+        if polys:
+            tiles[(tx, ty)] = polys
+    return tiles
+
+
+def pip_join_world(
+    points: "ray.data.Dataset", tile_polys: dict, z: int
+) -> "ray.data.Dataset":
+    """PIP join in world coordinates against an untransformed per-tile polygon
+    lookup (edge-exact; oracle-comparable)."""
+    index_ref = ray.put(tile_polys)
+
+    class Stage:
+        def __init__(self) -> None:
+            self.tiles = ray.get(index_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..datagen.images import mercator_xy
+
+            phash = batch.column("phash").to_numpy()
+            mx, my = mercator_xy(phash)
+            tx, ty = tile_xy(phash, z)
+            ids = batch.column("image_id").to_pylist()
+            out_img: list = []
+            out_rect: list = []
+            for j in range(len(ids)):
+                polys = self.tiles.get((int(tx[j]), int(ty[j])))
+                if not polys:
+                    continue
+                px, py = mx[j], my[j]
+                for pid, rings in polys:
+                    inside = False
+                    for ring in rings:
+                        xs = ring[:-1, 0]
+                        ys = ring[:-1, 1]
+                        x1 = ring[1:, 0]
+                        y1 = ring[1:, 1]
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cross = ((ys > py) != (y1 > py)) & (
+                                px < (x1 - xs) * (py - ys) / (y1 - ys) + xs
+                            )
+                        inside ^= bool(np.count_nonzero(cross) % 2)
+                    if inside:
+                        out_img.append(ids[j])
+                        out_rect.append(int(pid))
+            return pa.table(
+                {
+                    "image_id": pa.array(out_img, pa.string()),
+                    "rect_id": pa.array(out_rect, pa.int64()),
+                }
+            )
+
+    return points.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 4))
+
+
 def pip_join(
     points: "ray.data.Dataset",
     polygon_tiles: list[dict],
