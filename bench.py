@@ -1,0 +1,207 @@
+"""Headline benchmark: one JSON line with per-pipeline seconds.
+
+Usage:
+  python bench.py               # single run at $RAY_GRAFT_CPUS (default 32)
+  python bench.py --scaling     # fresh-process runs at 8 and 32 CPUs +
+                                # scaling efficiency (the N→4N stand-in)
+
+Headline metric (BASELINE.md north star): wall seconds to materialize the
+full z0–z14 us-states.json tile pyramid; tiles/sec derived alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+US_STATES = "/root/reference/test/fixtures/us-states.json"
+
+
+def _load_polygon_layer():
+    if os.path.exists(US_STATES):
+        with open(US_STATES) as f:
+            return json.load(f)
+    import numpy as np
+
+    from geojson_vt_ray.datagen.rects import rect_geojson
+
+    return rect_geojson(np.arange(1, 2001))
+
+
+def run_benchmarks() -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from geojson_vt_ray.datagen.images import phash_of_index_vec
+    from geojson_vt_ray.datagen.rects import rect_internal_features, rect_table
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.ann import brute_force_topk
+    from geojson_vt_ray.ray_pipeline.images import decoded_features, image_dataset
+    from geojson_vt_ray.ray_pipeline.spatial import (
+        knn_join,
+        pip_join_world,
+        rect_contain_join,
+        slice_polygons_to_tiles,
+        with_tile_xy,
+    )
+    from geojson_vt_ray.ray_pipeline.text import minhash_candidate_pairs
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # ---- headline: full z0-z14 us-states pyramid (input replicated) --------
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+
+    polygon_layer = _load_polygon_layer()
+    rep = int(os.environ.get("GRAFT_REP", "4"))
+    replicated = {
+        "type": "FeatureCollection",
+        "features": polygon_layer.get("features", []) * rep,
+    }
+    n_tiles = timed(
+        "us_states_pyramid_z14",
+        lambda: build_pyramid_fast(
+            dataset_from_geojson(replicated), TilerOptions(max_zoom=14), z_handoff=6
+        ).count(),
+    )
+    extra["pyramid_tiles"] = n_tiles
+    extra["replication"] = rep
+    extra["tiles_per_sec"] = round(n_tiles / timings["us_states_pyramid_z14"], 1)
+
+    # ---- image-table pipelines ---------------------------------------------
+    n_imgs = 2_000_000
+    timed(
+        "img_tile_assign_2m",
+        lambda: with_tile_xy(image_dataset(n_imgs, with_bytes=False), z=10)
+        .map_batches(
+            lambda b: b.group_by(["x"]).aggregate([("y", "count")]),
+            batch_format="pyarrow",
+        )
+        .count(),
+    )
+
+    rects = rect_table(np.arange(1, 2001))
+    timed(
+        "img_rect_join_500k",
+        lambda: rect_contain_join(image_dataset(500_000, with_bytes=False), rects).count(),
+    )
+
+    tile_polys = slice_polygons_to_tiles(rect_internal_features(np.arange(1, 2001)), 6)
+    timed(
+        "img_pip_500k",
+        lambda: pip_join_world(image_dataset(500_000, with_bytes=False), tile_polys, 6).count(),
+    )
+
+    qidx = np.arange(1, 500_000, 15625)
+    timed(
+        "img_knn_500k",
+        lambda: knn_join(
+            image_dataset(500_000, with_bytes=False), phash_of_index_vec(qidx), qidx, k=10
+        ).count(),
+    )
+
+    timed(
+        "img_decode_100k",
+        lambda: decoded_features(
+            image_dataset(100_000, with_bytes=True), concurrency=(1, max(2, NUM_CPUS - 2))
+        ).count(),
+    )
+
+    # ---- sf-table pipelines -------------------------------------------------
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    timed("doc_minhash_lsh", lambda: minhash_candidate_pairs(docs).count())
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = t.column("vec_id").to_numpy()
+    qmask = vec_ids % 50 == 0
+    col = t.column("embedding").combine_chunks()
+    vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = col.offsets.to_numpy()[1]
+    qvecs = vals.reshape(len(vec_ids), dim)[qmask]
+    emb = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    timed(
+        "ann_topk",
+        lambda: brute_force_topk(emb, qvecs, vec_ids[qmask], k=10, inorder=False).count(),
+    )
+
+    ray.shutdown()
+    return {"timings": timings, "extra": extra}
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        t8 = results[8]["value"]
+        t32 = results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "us-states z0-z14 pyramid scaling 8->32 cpus",
+                    "sec_8": t8,
+                    "sec_32": t32,
+                    "tiles_per_sec_8": results[8].get("tiles_per_sec"),
+                    "tiles_per_sec_32": results[32].get("tiles_per_sec"),
+                    "scaling_efficiency": round(eff, 3),
+                    "queries_8": results[8]["queries"],
+                    "queries_32": results[32]["queries"],
+                }
+            )
+        )
+        return
+
+    res = run_benchmarks()
+    timings = res["timings"]
+    out = {
+        "metric": "us-states z0-z14 full-pyramid slicing wall time",
+        "value": timings["us_states_pyramid_z14"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pyramid_tiles": res["extra"]["pyramid_tiles"],
+        "tiles_per_sec": res["extra"]["tiles_per_sec"],
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,8 @@ GEOM_CODE = {t: i for i, t in enumerate(GEOM_TYPES)}
 
 KIND_FEATURE = 0
 KIND_MARKER = 1
-KIND_TILE = 2
+KIND_TILE = 2  # complete tile row
+KIND_TILE_PARTIAL = 3  # mergeable tile shard (seqs ∥ features_json)
 
 FEATURE_FIELDS = [
     ("kind", pa.int8()),
@@ -51,6 +52,7 @@ FEATURE_FIELDS = [
     ("maxx", pa.float64()),
     ("maxy", pa.float64()),
     ("features_json", pa.string()),
+    ("seqs", pa.list_(pa.binary())),  # per-tile-feature order keys (partial tiles)
     ("num_points", pa.int64()),
     ("num_simplified", pa.int64()),
     ("num_features", pa.int64()),
@@ -129,6 +131,7 @@ class LevelRowBuilder:
         c["maxx"].append(feature["maxX"])
         c["maxy"].append(feature["maxY"])
         c["features_json"].append(None)
+        c["seqs"].append([])
         c["num_points"].append(0)
         c["num_simplified"].append(0)
         c["num_features"].append(0)
@@ -143,6 +146,27 @@ class LevelRowBuilder:
         c["num_points"][-1] = tile["numPoints"]
         c["num_simplified"][-1] = tile["numSimplified"]
         c["num_features"][-1] = tile["numFeatures"]
+
+    def add_partial_tile(
+        self,
+        z: int,
+        x: int,
+        y: int,
+        seqs: list[bytes],
+        features_json: str,
+        num_points: int,
+        num_simplified: int,
+        num_features: int,
+    ) -> None:
+        """Mergeable tile shard: `seqs` parallels the features_json array so a
+        later merge can restore reference feature order."""
+        self._add_stub(KIND_TILE_PARTIAL, z, x, y)
+        c = self.cols
+        c["features_json"][-1] = features_json
+        c["seqs"][-1] = seqs
+        c["num_points"][-1] = num_points
+        c["num_simplified"][-1] = num_simplified
+        c["num_features"][-1] = num_features
 
     def _add_stub(self, kind: int, z: int, x: int, y: int) -> None:
         c = self.cols
@@ -166,6 +190,7 @@ class LevelRowBuilder:
         c["maxx"].append(_NAN)
         c["maxy"].append(_NAN)
         c["features_json"].append(None)
+        c["seqs"].append([])
         c["num_points"].append(0)
         c["num_simplified"].append(0)
         c["num_features"].append(0)

@@ -65,6 +65,59 @@ class LocalTileIndex:
             return None
         return transform_tile(self.tiles[tid], extent)
 
+    def update_index(self, source: list[dict], affected: list[dict]) -> None:
+        """Invalidate affected tiles and rebuild the root; deeper tiles
+        regenerate lazily on the next get_tile (reference
+        `src/tile-index.ts:36-61`)."""
+        self.invalidate_tiles(affected)
+
+        root = create_tile(source, 0, 0, 0, self.options)
+        root["source"] = source
+        tid = tile_id(0, 0, 0)
+        self.tiles[tid] = root
+        self.tile_coords.append((0, 0, 0))
+
+    def invalidate_tiles(self, features: list[dict]) -> None:
+        """Remove tiles whose buffered bounds intersect any affected feature
+        (reference `src/tile-index.ts:235-305`)."""
+        if not features:
+            return
+        options = self.options
+
+        min_x = min(f["minX"] for f in features)
+        max_x = max(f["maxX"] for f in features)
+        min_y = min(f["minY"] for f in features)
+        max_y = max(f["maxY"] for f in features)
+
+        # full tile-extent buffer (not halved: tested against own bounds)
+        k1 = options.buffer / options.extent
+        removed = set()
+
+        for tid, tile in list(self.tiles.items()):
+            z2 = 1 << tile["z"]
+            tile_min_x = (tile["x"] - k1) / z2
+            tile_max_x = (tile["x"] + 1 + k1) / z2
+            tile_min_y = (tile["y"] - k1) / z2
+            tile_max_y = (tile["y"] + 1 + k1) / z2
+
+            if max_x < tile_min_x or min_x >= tile_max_x or max_y < tile_min_y or min_y >= tile_max_y:
+                continue
+            if not any(
+                f["maxX"] >= tile_min_x
+                and f["minX"] < tile_max_x
+                and f["maxY"] >= tile_min_y
+                and f["minY"] < tile_max_y
+                for f in features
+            ):
+                continue
+            del self.tiles[tid]
+            removed.add(tid)
+
+        if removed:
+            self.tile_coords = [
+                (z, x, y) for (z, x, y) in self.tile_coords if tile_id(z, x, y) not in removed
+            ]
+
     def _split_tile(
         self,
         features: list[dict],
@@ -136,7 +189,8 @@ class LocalTileIndex:
 
 
 class LocalGeoJSONVT:
-    """Local equivalent of the reference `GeoJSONVT` facade (tiling mode)."""
+    """Local equivalent of the reference `GeoJSONVT` facade
+    (tiling + cluster modes, `src/geojsonvt.ts:28-183`)."""
 
     def __init__(self, data: dict, options: Optional[TilerOptions] = None):
         options = (options or TilerOptions()).validate()
@@ -146,7 +200,15 @@ class LocalGeoJSONVT:
         features = wrap(features, options)
         self.source = features if options.updateable else None
 
-        self.index = LocalTileIndex(options)
+        self._init_index(features)
+
+    def _init_index(self, features: list[dict]) -> None:
+        if self.options.cluster:
+            from ..cluster import ClusterIndex
+
+            self.index = ClusterIndex(self.options.cluster_options)
+        else:
+            self.index = LocalTileIndex(self.options)
         if features:
             self.index.initialize(features)
 
@@ -156,10 +218,69 @@ class LocalGeoJSONVT:
             return None
         return self.index.get_tile(z, int(x), int(y))
 
+    def get_cluster_children(self, cluster_id: int):
+        from ..cluster import ClusterIndex
+
+        return self.index.get_children(cluster_id) if isinstance(self.index, ClusterIndex) else None
+
+    def get_cluster_leaves(self, cluster_id: int, limit: int = 10, offset: int = 0):
+        from ..cluster import ClusterIndex
+
+        if not isinstance(self.index, ClusterIndex):
+            return None
+        return self.index.get_leaves(cluster_id, limit, offset)
+
+    def get_cluster_expansion_zoom(self, cluster_id: int):
+        from ..cluster import ClusterIndex
+
+        if not isinstance(self.index, ClusterIndex):
+            return None
+        return self.index.get_cluster_expansion_zoom(cluster_id)
+
     def get_data(self) -> dict:
         if not self.options.updateable:
             raise ValueError("to retrieve data the `updateable` option must be set to true")
         return convert_to_geojson(self.source)
+
+    def update_data(self, diff: dict, filter_fn=None) -> None:
+        """Apply a source diff (add/remove/update/removeAll) and re-index
+        affected tiles (reference `src/geojsonvt.ts:91-110`)."""
+        if not self.options.updateable:
+            raise ValueError("to update tile geojson `updateable` option must be set to true")
+        from .difference import apply_source_diff
+
+        affected, source = apply_source_diff(self.source, diff, self.options)
+        if filter_fn is not None:
+            affected, source = self._filter_update(source, affected, filter_fn)
+        if not affected:
+            return
+        self.source = source
+        if self.options.cluster:
+            self._init_index(source)
+        else:
+            self.index.update_index(source, affected)
+
+    def _filter_update(self, source, affected, predicate):
+        from ..kernels.deconvert import feature_to_geojson
+
+        remove_ids = set()
+        for feature in source:
+            if feature["id"] is None:
+                continue
+            if predicate(feature_to_geojson(feature)):
+                continue
+            affected.append(feature)
+            remove_ids.add(feature["id"])
+        source = [f for f in source if f["id"] not in remove_ids]
+        return affected, source
+
+    def update_cluster_options(self, cluster: bool, cluster_options) -> None:
+        was_cluster = self.options.cluster
+        self.options = self.options.with_(cluster=cluster, cluster_options=cluster_options)
+        if was_cluster == cluster and not cluster:
+            self.index.update_index(self.source or [], [])
+            return
+        self._init_index(self.source or [])
 
 
 def gen_tiles(data: dict, options: Optional[TilerOptions] = None) -> dict[str, list]:

@@ -98,7 +98,7 @@ def brute_force_topk(
                 }
             )
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         if exclude_self:
@@ -165,7 +165,7 @@ def lsh_topk(
                 }
             )
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 4))
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g["neighbor_id"] != g["query_id"].iloc[0]]

@@ -1,0 +1,332 @@
+"""Shuffle-free pyramid cascade — the 100 TB-shape tiler.
+
+Key property of hierarchical tiling: every child-tile feature descends from
+exactly one parent-tile feature, and tile assembly is per-feature + an
+order-preserving merge. So the full pyramid needs NO per-level shuffle at
+all:
+
+  level z map_batches:  tile-shard rows → per-shard 4-way buffered clip →
+                        child feature rows (stay co-located) + a mergeable
+                        *partial tile* row (this shard's transformed tile
+                        features, with per-feature binary ``seq`` order keys,
+                        plus counter partials)
+
+Partial-tile rows stream through the remaining levels untouched; one final
+``groupby(tkey)`` merges partials (merge-sort by seq, sum counters). A tile
+with a single partial — the overwhelming majority below the top zooms — is
+passed through the merge unchanged. The z0–z4 hot tiles are exactly the
+salted-partial-merge design (SURVEY.md §4): their assembly is spread across
+every shard and only the pre-assembled partials shuffle.
+
+Levels deliberately alternate ``num_cpus`` by an epsilon so Ray's operator
+fusion keeps each level a separate operator — the streaming executor then
+re-balances blocks between levels, which is what absorbs geographic skew.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import pyarrow as pa
+
+import ray.data
+
+from ..arrowio.codec import (
+    KIND_FEATURE,
+    KIND_MARKER,
+    KIND_TILE,
+    KIND_TILE_PARTIAL,
+    LevelRowBuilder,
+    decode_features,
+)
+from ..kernels.tile import create_tile, transform_tile_features
+from ..options import TilerOptions
+from .tiler import ConvertWrap, _clip_children
+
+TILE_COLUMNS = ["z", "x", "y", "features_json", "num_points", "num_simplified", "num_features"]
+
+
+class CascadeLevel:
+    """One pyramid level: consume feature rows at zoom z, emit child feature
+    rows at z+1 plus partial tile rows; pass tile rows through."""
+
+    def __init__(self, z: int, options: TilerOptions, markers_for_children: bool = False):
+        self.z = z
+        self.options = options
+        # last cascade level: children existence must become KIND_MARKER rows
+        # (so the hand-off groupby forms a group and emits a complete empty
+        # tile) instead of empty partials (which would duplicate hand-off
+        # tiles already emitted complete)
+        self.markers_for_children = markers_for_children
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        z = self.z
+        options = self.options
+        out = LevelRowBuilder()
+
+        # pass through partial tile rows untouched
+        tile_mask = pc.equal(batch.column("kind"), KIND_TILE_PARTIAL)
+        passthrough = batch.filter(tile_mask)
+
+        features = decode_features(batch)  # (seq, feature) pairs, kind==0 only
+        # group this batch's rows into tile shards
+        shards: dict[tuple[int, int], list] = {}
+        xs = batch.column("x").to_pylist()
+        ys = batch.column("y").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        fi = 0
+        for i in range(batch.num_rows):
+            if kinds[i] != KIND_FEATURE:
+                continue
+            shards.setdefault((xs[i], ys[i]), []).append(features[fi])
+            fi += 1
+
+        for (x, y), shard in shards.items():
+            self._emit_partial(out, shard, z, x, y)
+            if z < options.max_zoom and shard:
+                bbox = {
+                    "minX": min(f["minX"] for _, f in shard),
+                    "maxX": max(f["maxX"] for _, f in shard),
+                    "minY": min(f["minY"] for _, f in shard),
+                    "maxY": max(f["maxY"] for _, f in shard),
+                }
+                for cx, cy, child in _clip_children(shard, z, x, y, options, bbox):
+                    if self.markers_for_children:
+                        out.add_marker(z + 1, cx, cy)
+                    else:
+                        # existence marker: empty partial (dedup'd at merge)
+                        out.add_partial_tile(z + 1, cx, cy, [], "[]", 0, 0, 0)
+                    for seq, f in child:
+                        out.add_feature(z + 1, cx, cy, seq, f)
+
+        built = out.table()
+        if passthrough.num_rows:
+            return pa.concat_tables([passthrough.select(built.column_names), built])
+        return built
+
+    def _emit_partial(self, out: LevelRowBuilder, shard: list, z: int, x: int, y: int) -> None:
+        options = self.options
+        seqs: list[bytes] = []
+        tfeatures: list[dict] = []
+        num_points = num_simplified = 0
+        for seq, f in shard:
+            t = create_tile([f], z, x, y, options)
+            num_points += t["numPoints"]
+            num_simplified += t["numSimplified"]
+            if t["features"]:
+                tf = transform_tile_features(t, options.extent)
+                seqs.append(seq)
+                tfeatures.append(tf[0])
+        out.add_partial_tile(
+            z, x, y, seqs, json.dumps(tfeatures), num_points, num_simplified, len(shard)
+        )
+
+
+def _merge_partials(group: pa.Table) -> pa.Table:
+    z = group.column("z")[0].as_py()
+    x = group.column("x")[0].as_py()
+    y = group.column("y")[0].as_py()
+    seqs_col = group.column("seqs").to_pylist()
+    feats_col = group.column("features_json").to_pylist()
+    np_ = int(pa.compute.sum(group.column("num_points")).as_py() or 0)
+    ns = int(pa.compute.sum(group.column("num_simplified")).as_py() or 0)
+    nf = int(pa.compute.sum(group.column("num_features")).as_py() or 0)
+
+    pairs: list[tuple[bytes, dict]] = []
+    for seqs, fj in zip(seqs_col, feats_col):
+        if not seqs:
+            continue
+        feats = json.loads(fj)
+        pairs.extend(zip(seqs, feats))
+    pairs.sort(key=lambda p: p[0])
+
+    return pa.table(
+        {
+            "z": pa.array([z], pa.int16()),
+            "x": pa.array([x], pa.int32()),
+            "y": pa.array([y], pa.int32()),
+            "features_json": pa.array([json.dumps([f for _, f in pairs])], pa.string()),
+            "num_points": pa.array([np_], pa.int64()),
+            "num_simplified": pa.array([ns], pa.int64()),
+            "num_features": pa.array([nf], pa.int64()),
+        }
+    )
+
+
+def build_tiles_cascade(
+    ds: "ray.data.Dataset",
+    options: TilerOptions,
+    batch_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Full z0..max_zoom pyramid as a pure map cascade + one partial merge.
+
+    Correct at any scale but pays an Arrow re-encode per level for every
+    surviving feature row — `build_pyramid_fast` below is the production
+    shape (cascade only to the hand-off zoom, then local subtree drill)."""
+    options = options.validate()
+    cur = ds.map_batches(ConvertWrap(options), batch_format="pyarrow")
+    for z in range(options.max_zoom + 1):
+        cur = cur.map_batches(
+            CascadeLevel(z, options),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            # epsilon keeps levels un-fused → per-level block re-balancing
+            num_cpus=1 + (z % 2) * 1e-4,
+        )
+    return cur.groupby("tkey").map_groups(_merge_partials, batch_format="pyarrow")
+
+
+class DrillOrSplit:
+    """Hand-off stage: one call per co-located tile group. Tiles under the
+    point threshold drill their whole subtree locally (complete tile rows,
+    Python-object speed, zero further shuffles); heavy tiles emit their own
+    complete tile + 4-way-clipped child feature rows for another pass."""
+
+    def __init__(self, z: int, options: TilerOptions, heavy_threshold: int):
+        self.z = z
+        self.options = options
+        self.heavy_threshold = heavy_threshold
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        options = self.options
+        z = self.z
+        x = group.column("x")[0].as_py()
+        y = group.column("y")[0].as_py()
+
+        features = decode_features(group)
+        features.sort(key=lambda p: p[0])
+
+        out = LevelRowBuilder()
+        tile = create_tile([f for _, f in features], z, x, y, options)
+        out.add_tile(tile, json.dumps(transform_tile_features(tile, options.extent)))
+
+        if z >= options.max_zoom or not features:
+            return out.table()
+
+        if tile["numPoints"] <= self.heavy_threshold or z >= options.max_zoom - 1:
+            # local subtree drill
+            stack = [(features, z, x, y, tile)]
+            while stack:
+                feats, cz, cx0, cy0, ctile = stack.pop()
+                for cx, cy, child in _clip_children(feats, cz, cx0, cy0, options, ctile):
+                    child_tile = create_tile([f for _, f in child], cz + 1, cx, cy, options)
+                    out.add_tile(
+                        child_tile,
+                        json.dumps(transform_tile_features(child_tile, options.extent)),
+                    )
+                    if cz + 1 < options.max_zoom and child:
+                        stack.append((child, cz + 1, cx, cy, child_tile))
+        else:
+            for cx, cy, child in _clip_children(features, z, x, y, options, tile):
+                out.add_marker(z + 1, cx, cy)
+                for seq, f in child:
+                    out.add_feature(z + 1, cx, cy, seq, f)
+        return out.table()
+
+
+def build_pyramid_fast(
+    ds: "ray.data.Dataset",
+    options: TilerOptions,
+    z_handoff: int = 6,
+    heavy_threshold: Optional[int] = None,
+    batch_size: int = 1024,
+    drill_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Production pyramid: shuffle-free cascade to ``z_handoff`` (shallow
+    tiles assembled as mergeable partials), ONE groupby at the hand-off to
+    co-locate each tile, then per-tile local subtree drill. Heavy tiles
+    (num_points > heavy_threshold) re-split for additional bounded passes.
+
+    Shuffle budget: 1 feature groupby at z_handoff (+ a few for heavy
+    remainders) + a tiny partial merge over the < 4^z_handoff shallow tiles.
+    """
+    import pyarrow.compute as pc
+
+    options = options.validate()
+    z_handoff = min(z_handoff, options.max_zoom)
+
+    cur = ds.map_batches(ConvertWrap(options), batch_format="pyarrow")
+    for z in range(z_handoff):
+        cur = cur.map_batches(
+            CascadeLevel(z, options, markers_for_children=(z == z_handoff - 1)),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            num_cpus=1 + (z % 2) * 1e-4,
+        )
+    cur = cur.materialize()
+
+    def _kind_filter(kinds: tuple, invert: bool = False, scatter: bool = False):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch.column("kind"), value_set=pa.array(kinds, pa.int8()))
+            out = batch.filter(pc.invert(mask) if invert else mask)
+            if scatter:
+                # bijective key hash: groupby sorts by key, and raw tile keys
+                # are spatially contiguous — dense regions would range-partition
+                # into the same reduce task. Scatter, keeping group identity.
+                import numpy as np
+
+                tk = out.column("tkey").to_numpy().astype(np.uint64)
+                mixed = (tk * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 63) - 1)
+                out = out.append_column("skey", pa.array(mixed.astype(np.int64)))
+            return out
+
+        return fn
+
+    partials = cur.map_batches(_kind_filter((KIND_TILE_PARTIAL,)), batch_format="pyarrow")
+    shallow_tiles = partials.groupby("tkey").map_groups(_merge_partials, batch_format="pyarrow")
+
+    frontier = cur.map_batches(
+        _kind_filter((KIND_FEATURE, KIND_MARKER), scatter=True), batch_format="pyarrow"
+    )
+
+    if heavy_threshold is None:
+        # single-pass: drill every hand-off tile's subtree in one stage —
+        # no extra materialize, the whole drill streams into the consumer
+        splitter = DrillOrSplit(z_handoff, options, 1 << 62)
+
+        def run_single(group: pa.Table, _s=splitter) -> pa.Table:
+            return _s(group)
+
+        level_out = (
+            frontier.repartition(drill_partitions)
+            .groupby("skey")
+            .map_groups(run_single, batch_format="pyarrow")
+        )
+        complete = (
+            level_out.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
+            .select_columns(TILE_COLUMNS)
+        )
+        return shallow_tiles.union(complete)
+
+    tiles = shallow_tiles
+    z = z_handoff
+    while z <= options.max_zoom:
+        splitter = DrillOrSplit(z, options, heavy_threshold)
+
+        def run(group: pa.Table, _s=splitter) -> pa.Table:
+            return _s(group)
+
+        # pre-shuffle block fan-out: Ray's sort-based map_groups parallelism
+        # follows input block count — a small-byte frontier would otherwise
+        # collapse into one reduce task and serialize the whole drill
+        level_out = (
+            frontier.repartition(drill_partitions)
+            .groupby("skey")
+            .map_groups(run, batch_format="pyarrow")
+            .materialize()
+        )
+        complete = (
+            level_out.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
+            .select_columns(TILE_COLUMNS)
+        )
+        tiles = tiles.union(complete)
+        frontier = level_out.map_batches(
+            _kind_filter((KIND_FEATURE, KIND_MARKER), scatter=True), batch_format="pyarrow"
+        )
+        z += 1
+        if frontier.count() == 0:
+            break
+    return tiles

@@ -1,0 +1,148 @@
+"""Clustering as a Ray stage.
+
+Exact mode: the reference algorithm is greedy and order-dependent
+(`src/cluster-tile-index.ts:378-458` — iteration in index order, sequential
+zoom cascade), so bit-parity requires a single holder of the full point set:
+``repartition(1)`` + one map_batches call over the whole block (an actor-pool
+of size 1). That caps exact mode at points-that-fit-one-node — the same cap
+the reference has.
+
+Scale mode (``grid_cluster_tiles``): a documented deviation — greedy
+clustering runs per grid cell of side ``4r`` via ``groupby(cell)``, with
+points within ``r`` of a cell border handled by assigning clusters to the
+cell of their seed point. Cluster counts/centroids match the reference
+closely but not bit-exactly; use it when the point set outgrows one node.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..options import ClusterOptions
+
+
+def cluster_tiles_exact(
+    points: "ray.data.Dataset",
+    options: Optional[ClusterOptions] = None,
+    zoom: int = 0,
+) -> "ray.data.Dataset":
+    """Cluster phash-georeferenced image points and emit all zoom-``zoom``
+    cluster-tile rows (cluster_id, point_count, tile x/y, px, py)."""
+    options = options or ClusterOptions()
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..cluster import ClusterIndex
+        from ..datagen.images import mercator_xy
+
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        ids = batch.column("image_id").to_pylist()
+        feats = [
+            {
+                "id": ids[i],
+                "type": "Point",
+                "geometry": [float(mx[i]), float(my[i])],
+                "tags": None,
+                "minX": 0.0,
+                "minY": 0.0,
+                "maxX": 0.0,
+                "maxY": 0.0,
+            }
+            for i in range(len(ids))
+        ]
+        index = ClusterIndex(options)
+        index.initialize(feats)
+
+        out = {
+            "x": [], "y": [], "cluster_id": [], "point_count": [], "px": [], "py": [],
+        }
+        z2 = 1 << zoom
+        for ty in range(z2):
+            for tx in range(z2):
+                tile = index.get_tile(zoom, tx, ty)
+                if not tile:
+                    continue
+                for f in tile["features"]:
+                    tags = f["tags"] or {}
+                    out["x"].append(tx)
+                    out["y"].append(ty)
+                    out["cluster_id"].append(int(f.get("id", -1)) if tags.get("cluster") else -1)
+                    out["point_count"].append(int(tags.get("point_count", 1)))
+                    out["px"].append(f["geometry"][0][0])
+                    out["py"].append(f["geometry"][0][1])
+        return pa.table(
+            {
+                "x": pa.array(out["x"], pa.int32()),
+                "y": pa.array(out["y"], pa.int32()),
+                "cluster_id": pa.array(out["cluster_id"], pa.int64()),
+                "point_count": pa.array(out["point_count"], pa.int64()),
+                "px": pa.array(out["px"], pa.int64()),
+                "py": pa.array(out["py"], pa.int64()),
+            }
+        )
+
+    return points.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None, concurrency=1
+    )
+
+
+def grid_cluster_tiles(
+    points: "ray.data.Dataset",
+    options: Optional[ClusterOptions] = None,
+    zoom: int = 0,
+) -> "ray.data.Dataset":
+    """Scale-out greedy clustering per grid cell (deviation documented above).
+
+    Cell side = 4r at the target zoom; each cell clusters its own points
+    greedily in (cell-local) index order. Border effects are bounded by r.
+    """
+    options = options or ClusterOptions()
+    r = options.radius / (options.extent * math.pow(2, zoom))
+    cell = 4 * r
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
+
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        cx = np.floor(mx / cell).astype(np.int64)
+        cy = np.floor(my / cell).astype(np.int64)
+        return pa.table(
+            {
+                "cell": cx * 1_000_003 + cy,
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+                "image_id": batch.column("image_id"),
+            }
+        )
+
+    import pandas as pd
+
+    def cluster_cell(g: pd.DataFrame) -> pd.DataFrame:
+        xs = g["mx"].to_numpy()
+        ys = g["my"].to_numpy()
+        n = len(xs)
+        visited = np.zeros(n, dtype=bool)
+        rows = []
+        for i in range(n):
+            if visited[i]:
+                continue
+            visited[i] = True
+            d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+            members = np.nonzero((~visited) & (d2 <= r * r))[0]
+            count = 1 + len(members)
+            if count >= options.min_points and len(members) > 0:
+                visited[members] = True
+                wx = (xs[i] + xs[members].sum()) / count
+                wy = (ys[i] + ys[members].sum()) / count
+                rows.append((wx, wy, count))
+            else:
+                rows.append((xs[i], ys[i], 1))
+        return pd.DataFrame(rows, columns=["px", "py", "point_count"])
+
+    cells = points.map_batches(assign, batch_format="pyarrow")
+    return cells.groupby("cell").map_groups(cluster_cell, batch_format="pandas")

@@ -61,7 +61,7 @@ class ImageDecoder:
         return out
 
 
-def decoded_features(images: "ray.data.Dataset", concurrency=(1, 4)) -> "ray.data.Dataset":
+def decoded_features(images: "ray.data.Dataset", concurrency=(1, 32)) -> "ray.data.Dataset":
     return images.map_batches(
         ImageDecoder, batch_format="pyarrow", batch_size=1024, concurrency=concurrency
     )

@@ -82,7 +82,7 @@ def rect_contain_join(points: "ray.data.Dataset", rects: dict[str, np.ndarray]) 
                 }
             )
 
-    return points.map_batches(RectJoin, batch_format="pyarrow", concurrency=(1, 4))
+    return points.map_batches(RectJoin, batch_format="pyarrow", concurrency=(1, 32))
 
 
 def knn_join(
@@ -138,7 +138,7 @@ def knn_join(
                 }
             )
 
-    partial = points.map_batches(PartialKnn, batch_format="pyarrow", concurrency=(1, 4))
+    partial = points.map_batches(PartialKnn, batch_format="pyarrow", concurrency=(1, 32))
 
     import pandas as pd
 
@@ -279,7 +279,7 @@ def pip_join_world(
                 }
             )
 
-    return points.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 4))
+    return points.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 32))
 
 
 def pip_join(
@@ -325,4 +325,4 @@ def pip_join(
                 }
             )
 
-    return points.map_batches(PipStage, batch_format="pyarrow", concurrency=(1, 4))
+    return points.map_batches(PipStage, batch_format="pyarrow", concurrency=(1, 32))

@@ -95,7 +95,7 @@ class QualityScorer:
 
 
 def quality_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+    return docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 32))
 
 
 # ------------------------------------------------------------------ lang id
@@ -134,7 +134,7 @@ class LangId:
 
 
 def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 32))
 
 
 # ------------------------------------------------------------- fingerprinting
@@ -189,14 +189,20 @@ def _token_shingles(text: str, k: int) -> set[bytes]:
     return {" ".join(toks[i : i + k]).encode() for i in range(len(toks) - k + 1)}
 
 
+MERSENNE31 = (1 << 31) - 1
+
+
 class MinHasher:
     """Per-batch MinHash signatures (n_perm universal hashes over blake2
-    shingle hashes), banded for LSH."""
+    shingle hashes), banded for LSH.
+
+    Arithmetic is fully vectorized in uint64: a, b, h < 2^31 so a*h + b never
+    overflows; modulus 2^31-1."""
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
         rs = np.random.RandomState(seed)  # fixed seed — deterministic across actors
-        self.a = rs.randint(1, MERSENNE61, size=n_perm, dtype=np.int64).astype(object)
-        self.b = rs.randint(0, MERSENNE61, size=n_perm, dtype=np.int64).astype(object)
+        self.a = rs.randint(1, MERSENNE31, size=n_perm).astype(np.uint64)
+        self.b = rs.randint(0, MERSENNE31, size=n_perm).astype(np.uint64)
         self.n_perm = n_perm
         self.shingle_k = shingle_k
 
@@ -204,16 +210,14 @@ class MinHasher:
         sh = _token_shingles(text, self.shingle_k)
         hv = np.array(
             [
-                int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big") >> 3
+                int.from_bytes(hashlib.blake2b(s, digest_size=4).digest(), "big") % MERSENNE31
                 for s in sh
             ],
             dtype=np.uint64,
-        ).astype(object)
-        # (a*h + b) mod p, min over shingles, per permutation
-        sig = np.empty(self.n_perm, dtype=np.uint64)
-        for j in range(self.n_perm):
-            sig[j] = int(np.min((self.a[j] * hv + self.b[j]) % MERSENNE61))
-        return sig
+        )
+        # (a*h + b) mod p over the (perm, shingle) matrix, min per permutation
+        m = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(MERSENNE31)
+        return m.min(axis=1)
 
 
 def minhash_band_rows(
@@ -250,7 +254,7 @@ def minhash_band_rows(
                 }
             )
 
-    return docs.map_batches(BandStage, batch_format="pyarrow", concurrency=(1, 4))
+    return docs.map_batches(BandStage, batch_format="pyarrow", concurrency=(1, 32))
 
 
 def minhash_candidate_pairs(
