@@ -123,9 +123,12 @@ def lsh_topk(
     k: int,
     n_planes: int = 8,
     seed: int = 42,
+    probe_hamming: int = 1,
 ) -> "ray.data.Dataset":
-    """LSH-bucketed ANN: scan only the query's bucket. Scale path — recall is
-    evaluated against `brute_force_topk` in tests."""
+    """LSH-bucketed ANN with multi-probe: scan buckets within
+    ``probe_hamming`` bit flips of the query's bucket. Scale path — scans
+    ~(1 + n_planes)/2^n_planes of the data at hamming 1; recall is evaluated
+    against `brute_force_topk` in tests."""
     rs = np.random.RandomState(seed)
     dim = np.asarray(query_vecs).shape[1]
     planes = rs.standard_normal((n_planes, dim))
@@ -146,7 +149,14 @@ def lsh_topk(
             out_n: list[int] = []
             out_s: list[float] = []
             for qi in range(len(self.qids)):
-                mask = esig == self.qsig[qi]
+                xor = np.bitwise_xor(esig, self.qsig[qi])
+                # popcount via bit-twiddling (values < 2^n_planes, small)
+                ham = np.zeros(len(xor), dtype=np.int64)
+                v = xor.copy()
+                while v.any():
+                    ham += v & 1
+                    v >>= 1
+                mask = ham <= probe_hamming
                 if not mask.any():
                     continue
                 sims = en[mask] @ self.qn[qi]

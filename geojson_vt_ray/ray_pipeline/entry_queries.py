@@ -266,6 +266,31 @@ def q_rect_pyramid(sf_dir: str):
     return tiles.select_columns(["z", "x", "y", "num_features", "num_points", "num_simplified"])
 
 
+def q_rect_raster(sf_dir: str):
+    """Raster tiles from the sliced rectangle layer (z0..z3): per-tile
+    scanline rasterization coverage (non-SQL)."""
+    from ..datagen.rects import rect_geojson
+    from ..options import TilerOptions
+    from .raster import rasterize_tiles
+    from .tiler import build_tiles, dataset_from_geojson
+
+    keys = _part_keys(sf_dir)
+    gj = rect_geojson(keys[:200])
+    tiles = build_tiles(dataset_from_geojson(gj), TilerOptions(max_zoom=3), mode="pyramid")
+    return rasterize_tiles(tiles, size=64).select_columns(["z", "x", "y", "coverage"])
+
+
+def q_img_cluster(sf_dir: str):
+    """Exact greedy clustering (reference supercluster semantics) of the
+    image points; zoom-1 cluster tiles (non-SQL: order-dependent greedy)."""
+    from ..options import ClusterOptions
+    from .cluster_stage import cluster_tiles_exact
+
+    return cluster_tiles_exact(
+        _image_points(sf_dir), ClusterOptions(max_zoom=8), zoom=1
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
@@ -274,6 +299,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_knn": q_img_knn,
     "img_decode_stats": q_img_decode_stats,
     "rect_pyramid": q_rect_pyramid,
+    "rect_raster": q_rect_raster,
+    "img_cluster": q_img_cluster,
     "doc_token_stats": q_doc_token_stats,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_lang_stats": q_doc_lang_stats,

@@ -1,0 +1,108 @@
+"""Dedup / MinHash / SimHash / ANN operator checks against exact oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(texts):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+
+
+def test_exact_dedup(ray_session):
+    from geojson_vt_ray.ray_pipeline.text import exact_dedup_groups
+
+    texts = ["a b c", "d e f", "a b c", "g h i", "a b c"]
+    out = exact_dedup_groups(_docs_ds(texts)).to_pandas()
+    assert len(out) == 3
+    trip = out[out["n_dups"] == 3]
+    assert len(trip) == 1
+    assert int(trip["keep_doc_id"].iloc[0]) == 0
+
+
+def test_minhash_finds_near_duplicates(ray_session):
+    from geojson_vt_ray.ray_pipeline.text import (
+        _token_shingles,
+        minhash_candidate_pairs,
+        verify_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")  # high Jaccard
+    texts = [base, near] + [
+        f"totally different document number {i} with words w{i} x{i} y{i} z{i} "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        for i in range(20)
+    ]
+    docs = _docs_ds(texts)
+    pairs = [(int(r["doc_a"]), int(r["doc_b"])) for r in minhash_candidate_pairs(docs).iter_rows()]
+    assert (0, 1) in pairs
+
+    verified = verify_jaccard(docs, pairs, threshold=0.5)
+    assert any(a == 0 and b == 1 for a, b, _ in verified)
+    # exact jaccard agrees
+    sa = _token_shingles(base, 3)
+    sb = _token_shingles(near, 3)
+    j = len(sa & sb) / len(sa | sb)
+    got = [jv for a, b, jv in verified if (a, b) == (0, 1)][0]
+    assert got == pytest.approx(j)
+
+
+def test_simhash_near_duplicates_close(ray_session):
+    from geojson_vt_ray.ray_pipeline.text import simhash_signatures
+
+    base = "one two three four five six seven eight nine ten " * 10
+    near = base.replace("five", "5")
+    far = "completely unrelated content about other topics entirely " * 10
+    out = {r["doc_id"]: r["simhash"] for r in simhash_signatures(_docs_ds([base, near, far])).iter_rows()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(out[0], out[1]) < hamming(out[0], out[2])
+    assert hamming(out[0], out[1]) <= 16
+
+
+def test_ann_lsh_recall_vs_bruteforce(ray_session):
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.ann import brute_force_topk, lsh_topk
+
+    rs = np.random.RandomState(7)
+    n, d, k = 400, 16, 5
+    vecs = rs.standard_normal((n, d))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    qids = np.arange(0, n, 57)
+    qvecs = vecs[qids]
+
+    exact = brute_force_topk(ds, qvecs, qids, k, inorder=False).to_pandas()
+    approx = lsh_topk(ds, qvecs, qids, k, n_planes=4).to_pandas()
+
+    recalls = []
+    for q in qids:
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        if e:
+            recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.4  # 4-plane LSH scans ~1/16 of the data
+
+
+def test_fingerprint_order_sensitivity(ray_session):
+    from geojson_vt_ray.ray_pipeline.text import fingerprints
+
+    out = {r["doc_id"]: r["fingerprint"]
+           for r in fingerprints(_docs_ds(["a b c", "c b a", "a b c"])).iter_rows()}
+    assert out[0] == out[2]
+    assert out[0] != out[1]
