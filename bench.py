@@ -85,7 +85,10 @@ def run_benchmarks() -> dict:
     n_tiles = timed(
         "us_states_pyramid_z14",
         lambda: build_pyramid_fast(
-            dataset_from_geojson(replicated), TilerOptions(max_zoom=14), z_handoff=6
+            dataset_from_geojson(replicated),
+            TilerOptions(max_zoom=14),
+            z_handoff=6,
+            drill_partitions=128,
         ).count(),
     )
     extra["pyramid_tiles"] = n_tiles

@@ -257,12 +257,13 @@ def q_rect_pyramid(sf_dir: str):
     sliced into the full z0..z6 pyramid; emits per-tile stats (non-SQL)."""
     from ..datagen.rects import rect_geojson
     from ..options import TilerOptions
-    from .tiler import build_tiles, dataset_from_geojson
+    from .cascade import build_pyramid_fast
+    from .tiler import dataset_from_geojson
 
     keys = _part_keys(sf_dir)
     gj = rect_geojson(keys[:500])
     opts = TilerOptions(max_zoom=6)
-    tiles = build_tiles(dataset_from_geojson(gj), opts, mode="pyramid")
+    tiles = build_pyramid_fast(dataset_from_geojson(gj), opts, z_handoff=4)
     return tiles.select_columns(["z", "x", "y", "num_features", "num_points", "num_simplified"])
 
 

@@ -1,0 +1,170 @@
+"""Incremental pyramid maintenance on Ray (reference `updateData` semantics
+distributed, SURVEY.md §3.3).
+
+The diff is small by construction (a batch of adds/removes/updates): it is
+hashed and broadcast; the source feature Dataset is filtered/patched per
+batch (anti-join by id + upsert of converted adds), and only the tile
+subtrees whose buffered bounds intersect an affected feature are recomputed
+— the untouched output partitions are kept.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Optional
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..engine.difference import apply_source_diff, diff_to_hashed
+from ..kernels.convert import convert_to_internal
+from ..kernels.wrap import wrap
+from ..options import TilerOptions
+
+
+def affected_tile_keys(affected: list[dict], max_zoom: int, options: TilerOptions) -> set[tuple[int, int, int]]:
+    """All (z, x, y) whose buffered tile bounds intersect any affected
+    feature's bbox (the distributed analogue of the reference's
+    invalidateTiles scan, `src/tile-index.ts:235-305`)."""
+    k1 = options.buffer / options.extent
+    out: set[tuple[int, int, int]] = set()
+    for f in affected:
+        for z in range(max_zoom + 1):
+            z2 = 1 << z
+            # invert the buffered-bounds test: tile x with (x - k1)/z2 <= maxX
+            # and (x + 1 + k1)/z2 > minX
+            x0 = int(f["minX"] * z2 - 1 - k1)
+            x1 = int(f["maxX"] * z2 + k1) + 1
+            y0 = int(f["minY"] * z2 - 1 - k1)
+            y1 = int(f["maxY"] * z2 + k1) + 1
+            for x in range(max(0, x0), min(z2 - 1, x1) + 1):
+                if f["maxX"] < (x - k1) / z2 or f["minX"] >= (x + 1 + k1) / z2:
+                    continue
+                for y in range(max(0, y0), min(z2 - 1, y1) + 1):
+                    if f["maxY"] < (y - k1) / z2 or f["minY"] >= (y + 1 + k1) / z2:
+                        continue
+                    out.add((z, x, y))
+    return out
+
+
+def apply_diff_dataset(
+    source_rows: "ray.data.Dataset",
+    diff: dict,
+    options: TilerOptions,
+) -> tuple["ray.data.Dataset", list[dict]]:
+    """Apply a source diff to a Dataset of raw GeoJSON feature rows
+    ``{feature_json, input_seq}``.
+
+    Returns (updated dataset, affected internal features). The diff is
+    broadcast; removals/replacements filter per batch (anti-join by id);
+    adds append as new rows. The affected list (old + new instances) drives
+    tile invalidation.
+    """
+    hashed = diff_to_hashed(diff, options)
+    drop_ids = hashed["remove"] | set(hashed["add"].keys()) | set(hashed["update"].keys())
+    drop_ref = ray.put((drop_ids, hashed["removeAll"]))
+
+    affected: list[dict] = []
+
+    def patch(batch: pa.Table) -> pa.Table:
+        ids_to_drop, remove_all = ray.get(drop_ref)
+        if remove_all:
+            return batch.slice(0, 0)
+        keep = []
+        for i, fj in enumerate(batch.column("feature_json").to_pylist()):
+            f = json.loads(fj)
+            fid = (
+                (f.get("properties") or {}).get(options.promote_id)
+                if options.promote_id
+                else f.get("id")
+            )
+            keep.append(fid not in ids_to_drop)
+        return batch.filter(pa.array(keep))
+
+    patched = source_rows.map_batches(patch, batch_format="pyarrow")
+
+    # collect affected old rows (small: only ids in the diff) on the driver
+    def affected_scan(batch: pa.Table) -> pa.Table:
+        ids_to_drop, remove_all = ray.get(drop_ref)
+        out = []
+        for fj in batch.column("feature_json").to_pylist():
+            f = json.loads(fj)
+            fid = (
+                (f.get("properties") or {}).get(options.promote_id)
+                if options.promote_id
+                else f.get("id")
+            )
+            if remove_all or fid in ids_to_drop:
+                out.append(fj)
+        return pa.table({"feature_json": pa.array(out, pa.string())})
+
+    for row in source_rows.map_batches(affected_scan, batch_format="pyarrow").iter_rows():
+        f = json.loads(row["feature_json"])
+        affected.extend(wrap(convert_to_internal(f, options), options))
+
+    new_rows = []
+    next_seq = 1 << 40  # appended rows order after all existing rows
+    for f in hashed["add"].values():
+        new_rows.append({"feature_json": json.dumps(f), "input_seq": next_seq})
+        next_seq += 1
+        affected.extend(wrap(convert_to_internal(f, options), options))
+    for u in hashed["update"].values():
+        if u.get("newGeometry"):
+            nf = {
+                "type": "Feature",
+                "id": u["id"],
+                "geometry": u["newGeometry"],
+                "properties": {},
+            }
+            new_rows.append({"feature_json": json.dumps(nf), "input_seq": next_seq})
+            next_seq += 1
+            affected.extend(wrap(convert_to_internal(nf, options), options))
+
+    if new_rows:
+        patched = patched.union(ray.data.from_items(new_rows))
+    return patched, affected
+
+
+def incremental_update_pyramid(
+    source_rows: "ray.data.Dataset",
+    diff: dict,
+    options: TilerOptions,
+    out_dir: str,
+    **pyramid_kwargs,
+) -> dict:
+    """Recompute only the affected subtrees of a written pyramid.
+
+    Strategy (round-1): compute the affected tile-key set from the diff's
+    feature bboxes, rebuild the full pyramid Dataset lazily but FILTER to
+    affected keys before writing, then overwrite just those rows' partitions.
+    A finer-grained implementation would prune the cascade itself by bbox at
+    the read.
+    """
+    from .cascade import build_pyramid_fast
+
+    patched, affected = apply_diff_dataset(source_rows, diff, options)
+    keys = affected_tile_keys(affected, options.max_zoom, options)
+    keys_ref = ray.put(keys)
+
+    tiles = build_pyramid_fast(patched, options, **pyramid_kwargs)
+
+    def only_affected(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [
+            (z, x, y) in ks
+            for z, x, y in zip(
+                batch.column("z").to_pylist(),
+                batch.column("x").to_pylist(),
+                batch.column("y").to_pylist(),
+            )
+        ]
+        return batch.filter(pa.array(mask))
+
+    changed = tiles.map_batches(only_affected, batch_format="pyarrow")
+    import os
+
+    target = os.path.join(out_dir, "_updates")
+    changed.write_parquet(target)
+    return {"affected_tiles": len(keys), "update_dir": target}

@@ -29,6 +29,18 @@ import ray.data
 
 from ..datagen.images import tile_xy
 
+_BCAST_CACHE: dict[bytes, object] = {}
+
+
+def _cached_get(ref):
+    """Per-worker-process cache of broadcast objects (ray.get is cheap for
+    local plasma objects but deserialization of dict-heavy payloads is not)."""
+    key = ref.binary()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE.clear()  # keep at most one broadcast resident per stage
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
 
 def with_tile_xy(images: "ray.data.Dataset", z: int) -> "ray.data.Dataset":
     """Exact integer tile assignment at zoom z from the phash bits."""
@@ -236,50 +248,71 @@ def pip_join_world(
     points: "ray.data.Dataset", tile_polys: dict, z: int
 ) -> "ray.data.Dataset":
     """PIP join in world coordinates against an untransformed per-tile polygon
-    lookup (edge-exact; oracle-comparable)."""
+    lookup (edge-exact; oracle-comparable).
+
+    Task-based broadcast (`ray.put` once, `ray.get` per task — local
+    zero-copy) so parallelism follows the cluster, not a pool size; the
+    ray-cast is vectorized per (tile, polygon) over all of the batch's points
+    in that tile.
+    """
     index_ref = ray.put(tile_polys)
 
-    class Stage:
-        def __init__(self) -> None:
-            self.tiles = ray.get(index_ref)
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..datagen.images import mercator_xy
+        tiles = _cached_get(index_ref)
+        phash = batch.column("phash").to_numpy()
+        mx, my = mercator_xy(phash)
+        tx, ty = tile_xy(phash, z)
+        ids = batch.column("image_id")
+        tkey = (ty.astype(np.uint64) << np.uint64(32)) | tx.astype(np.uint64)
 
-            phash = batch.column("phash").to_numpy()
-            mx, my = mercator_xy(phash)
-            tx, ty = tile_xy(phash, z)
-            ids = batch.column("image_id").to_pylist()
-            out_img: list = []
-            out_rect: list = []
-            for j in range(len(ids)):
-                polys = self.tiles.get((int(tx[j]), int(ty[j])))
-                if not polys:
-                    continue
-                px, py = mx[j], my[j]
-                for pid, rings in polys:
-                    inside = False
-                    for ring in rings:
-                        xs = ring[:-1, 0]
-                        ys = ring[:-1, 1]
-                        x1 = ring[1:, 0]
-                        y1 = ring[1:, 1]
-                        with np.errstate(divide="ignore", invalid="ignore"):
-                            cross = ((ys > py) != (y1 > py)) & (
-                                px < (x1 - xs) * (py - ys) / (y1 - ys) + xs
-                            )
-                        inside ^= bool(np.count_nonzero(cross) % 2)
-                    if inside:
-                        out_img.append(ids[j])
-                        out_rect.append(int(pid))
+        order = np.argsort(tkey, kind="stable")
+        sorted_keys = tkey[order]
+        bounds = np.nonzero(np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))[0]
+        bounds = np.append(bounds, len(sorted_keys))
+
+        out_idx: list[np.ndarray] = []
+        out_rect: list[np.ndarray] = []
+        for bi in range(len(bounds) - 1):
+            sl = order[bounds[bi] : bounds[bi + 1]]
+            key = sorted_keys[bounds[bi]]
+            polys = tiles.get((int(key & np.uint64(0xFFFFFFFF)), int(key >> np.uint64(32))))
+            if not polys:
+                continue
+            px = mx[sl]
+            py = my[sl]
+            for pid, rings in polys:
+                inside = np.zeros(len(sl), dtype=bool)
+                for ring in rings:
+                    xs = ring[:-1, 0][None, :]
+                    ys = ring[:-1, 1][None, :]
+                    x1 = ring[1:, 0][None, :]
+                    y1 = ring[1:, 1][None, :]
+                    pyc = py[:, None]
+                    pxc = px[:, None]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cross = ((ys > pyc) != (y1 > pyc)) & (
+                            pxc < (x1 - xs) * (pyc - ys) / (y1 - ys) + xs
+                        )
+                    inside ^= (cross.sum(axis=1) % 2).astype(bool)
+                hit = np.nonzero(inside)[0]
+                if len(hit):
+                    out_idx.append(sl[hit])
+                    out_rect.append(np.full(len(hit), int(pid), dtype=np.int64))
+        if not out_idx:
             return pa.table(
-                {
-                    "image_id": pa.array(out_img, pa.string()),
-                    "rect_id": pa.array(out_rect, pa.int64()),
-                }
+                {"image_id": pa.array([], pa.string()), "rect_id": pa.array([], pa.int64())}
             )
+        idx = np.concatenate(out_idx)
+        col = ids.take(pa.array(idx))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"image_id": col, "rect_id": pa.array(np.concatenate(out_rect))}
+        )
 
-    return points.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 32))
+    return points.map_batches(stage, batch_format="pyarrow")
 
 
 def pip_join(

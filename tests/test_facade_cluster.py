@@ -1,0 +1,59 @@
+"""Facade-level cluster mode (reference `geojsonvt.ts` cluster branches)."""
+
+from geojson_vt_ray.engine import LocalGeoJSONVT
+from geojson_vt_ray.options import ClusterOptions, TilerOptions
+
+from .conftest import load_fixture
+from .util import assert_deep_equal
+
+
+def test_empty_cluster_index_returns_null():
+    vt = LocalGeoJSONVT(
+        {"type": "FeatureCollection", "features": []}, TilerOptions(cluster=True)
+    )
+    assert vt.get_tile(0, 0, 0) is None
+
+
+def test_cluster_mode_matches_cluster_index():
+    """Facade cluster mode feeds convert+wrap output into the cluster index
+    (reference `geojsonvt.ts:64-68`) — compare against a ClusterIndex fed the
+    same internal features (wrap duplicates dateline points, so this
+    intentionally differs from the direct `load()` fixture path)."""
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.kernels.convert import convert_to_internal
+    from geojson_vt_ray.kernels.wrap import wrap as wrap_features
+
+    places = load_fixture("places.json")
+    options = TilerOptions(cluster=True)
+    vt = LocalGeoJSONVT(places, options)
+
+    direct = ClusterIndex(options.cluster_options)
+    direct.initialize(wrap_features(convert_to_internal(places, options), options))
+
+    assert_deep_equal(
+        vt.get_tile(0, 0, 0)["features"], direct.get_tile(0, 0, 0)["features"]
+    )
+    # cluster query surface through the facade (ids offset by the wrapped
+    # point count — resolve a real cluster id from the tile)
+    cid = next(
+        f["id"] for f in vt.get_tile(0, 0, 0)["features"] if f["tags"].get("cluster")
+    )
+    assert vt.get_cluster_expansion_zoom(cid) == 1
+    assert len(vt.get_cluster_children(cid)) >= 2
+    assert len(vt.get_cluster_leaves(cid, 10, 0)) == 10
+
+
+def test_update_cluster_options_toggle():
+    places = load_fixture("places.json")
+    vt = LocalGeoJSONVT(places, TilerOptions(updateable=True))
+    t_plain = vt.get_tile(0, 0, 0)
+    n0 = len(t_plain["features"])
+    assert n0 >= 163  # 163 points + wrap duplicates near the dateline
+
+    vt.update_cluster_options(True, ClusterOptions())
+    t_cluster = vt.get_tile(0, 0, 0)
+    assert len(t_cluster["features"]) < n0  # clustered
+
+    vt.update_cluster_options(False, ClusterOptions())
+    t_back = vt.get_tile(0, 0, 0)
+    assert len(t_back["features"]) == n0

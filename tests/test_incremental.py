@@ -1,0 +1,89 @@
+"""Distributed incremental update: diff broadcast + affected-subtree rebuild."""
+
+import json
+
+import ray.data
+
+from geojson_vt_ray.options import TilerOptions
+
+
+def _rows(features):
+    return ray.data.from_items(
+        [{"feature_json": json.dumps(f), "input_seq": i} for i, f in enumerate(features)]
+    )
+
+
+def _point(fid, lng, lat):
+    return {
+        "type": "Feature",
+        "id": fid,
+        "geometry": {"type": "Point", "coordinates": [lng, lat]},
+        "properties": {"name": f"p{fid}"},
+    }
+
+
+def test_apply_diff_dataset(ray_session):
+    from geojson_vt_ray.ray_pipeline.incremental import apply_diff_dataset
+
+    options = TilerOptions(max_zoom=4)
+    src = _rows([_point(1, 0, 0), _point(2, 10, 10), _point(3, 20, 20)])
+    patched, affected = apply_diff_dataset(
+        src, {"remove": [2], "add": [_point(9, -10, -10)]}, options
+    )
+    ids = sorted(
+        json.loads(r["feature_json"]).get("id") for r in patched.iter_rows()
+    )
+    assert ids == [1, 3, 9]
+    # affected = removed old instance + added new instance
+    assert sorted(f["id"] for f in affected) == [2, 9]
+
+
+def test_affected_tile_keys_match_local_invalidation(ray_session):
+    from geojson_vt_ray.engine import LocalGeoJSONVT
+    from geojson_vt_ray.kernels.convert import convert_to_internal
+    from geojson_vt_ray.ray_pipeline.incremental import affected_tile_keys
+
+    options = TilerOptions(max_zoom=4, updateable=True)
+    data = {"type": "FeatureCollection", "features": [_point(1, 0.5, 0.5), _point(2, 100, 45)]}
+    vt = LocalGeoJSONVT(data, options)
+    # drill everything
+    for z in range(5):
+        for x in range(1 << z):
+            for y in range(1 << z):
+                vt.get_tile(z, x, y)
+    before = set(vt.index.tile_coords)
+
+    moved = convert_to_internal(_point(1, 0.5, 0.5), options)
+    keys = affected_tile_keys(moved, options.max_zoom, options)
+
+    vt.index.invalidate_tiles(moved)
+    after = set(vt.index.tile_coords)
+    removed = before - after
+    # the computed key set must cover every tile the engine invalidated
+    assert removed <= keys
+
+
+def test_incremental_update_pyramid(ray_session, tmp_path):
+    from geojson_vt_ray.ray_pipeline.incremental import incremental_update_pyramid
+
+    options = TilerOptions(max_zoom=3)
+    src = _rows([_point(1, 0.5, 0.5), _point(2, 100, 45)])
+    res = incremental_update_pyramid(
+        src,
+        {"add": [_point(3, 0.6, 0.6)]},
+        options,
+        str(tmp_path),
+        z_handoff=1,
+    )
+    assert res["affected_tiles"] > 0
+    import glob
+
+    import pyarrow.parquet as pq
+
+    rows = []
+    for p in glob.glob(f"{res['update_dir']}/*.parquet"):
+        rows.extend(pq.read_table(p).to_pylist())
+    assert rows
+    # the updated root tile contains all three points
+    root = [r for r in rows if (r["z"], r["x"], r["y"]) == (0, 0, 0)]
+    assert root and root[0]["num_features"] == 3

@@ -1,0 +1,36 @@
+"""Resumable pyramid sink + read-side tile server."""
+
+from geojson_vt_ray.options import TilerOptions
+
+from .conftest import load_fixture
+from .util import assert_deep_equal
+
+
+def test_write_pyramid_fast_and_serve(ray_session, tmp_path):
+    from geojson_vt_ray.engine import LocalGeoJSONVT
+    from geojson_vt_ray.ray_pipeline.cascade import TileServer, write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    data = load_fixture("us-states.json")
+    opts = TilerOptions(max_zoom=4)
+    out = str(tmp_path / "pyr")
+
+    stats = write_pyramid_fast(dataset_from_geojson(data), opts, out, z_handoff=2)
+    assert stats["resumed"] is False
+    assert stats["tiles"] > 50
+
+    # resume skips the whole run
+    stats2 = write_pyramid_fast(dataset_from_geojson(data), opts, out, z_handoff=2)
+    assert stats2 == {"tiles": stats["tiles"], "resumed": True}
+
+    server = TileServer(out)
+    local = LocalGeoJSONVT(data, opts.with_(index_max_zoom=0, index_max_points=0))
+    for (z, x, y) in ((0, 0, 0), (2, 0, 1), (4, 4, 6), (3, -5, 2)):
+        lt = local.get_tile(z, x, y)
+        st = server.get_tile(z, x, y)
+        if lt is None:
+            assert st is None or st["features"] == []
+        else:
+            assert st is not None, (z, x, y)
+            assert_deep_equal(st["features"], lt["features"])
+            assert st["numPoints"] == lt["numPoints"]
