@@ -103,8 +103,9 @@ class LevelRowBuilder:
         starts: list[float] = []
         ends: list[float] = []
         for r in rings:
-            pts.extend(r.points)
-            ring_lens.append(len(r.points))
+            rp = r.points
+            pts.extend(rp.tolist() if hasattr(rp, "tolist") else rp)
+            ring_lens.append(len(rp))
             sizes.append(r.size if r.size is not None else _NAN)
             starts.append(r.start if r.start is not None else _NAN)
             ends.append(r.end if r.end is not None else _NAN)

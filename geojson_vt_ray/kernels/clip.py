@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+from .clip_vec import VEC_MIN_FLOATS, clip_ring_vec
 from .feature import Slice, create_feature
 
 AXIS_X = 0
@@ -119,9 +120,23 @@ def _clip_line(
     is_polygon: bool,
     track_metrics: bool,
 ) -> None:
-    """Clip one line/ring into slices (reference `src/clip.ts:166-241`)."""
+    """Clip one line/ring into slices (reference `src/clip.ts:166-241`).
+
+    Long rings take the bit-exact vectorized path (same IEEE expressions
+    elementwise); short rings and the metrics path stay scalar."""
+    if not track_metrics and len(geom.points) >= VEC_MIN_FLOATS:
+        import numpy as np
+
+        pts = geom.points
+        arr = pts if isinstance(pts, np.ndarray) else np.asarray(pts, dtype=np.float64)
+        for piece in clip_ring_vec(arr, start, end, axis, is_polygon):
+            out.append(Slice(piece, geom.size, geom.start, geom.end))
+        return
+
     sl = _new_slice(geom)
     pts = geom.points
+    if hasattr(pts, "tolist"):  # small ndarray: scalar loop is faster on lists
+        pts = pts.tolist()
     length = geom.start  # cumulative length walked so far (metrics mode)
     seg_len = 0.0
     t = 0.0

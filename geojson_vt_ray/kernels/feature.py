@@ -77,12 +77,24 @@ def create_feature(fid: Any, ftype: str, geom: Any, tags: Optional[dict]) -> dic
     return feature
 
 
-def _grow_bbox(feature: dict, points: list[float]) -> None:
+def _grow_bbox(feature: dict, points) -> None:
+    n = len(points)
+    if n >= 96:  # vectorized min/max over strided views
+        import numpy as np
+
+        arr = points if isinstance(points, np.ndarray) else np.asarray(points, dtype=np.float64)
+        xs = arr[0::3]
+        ys = arr[1::3]
+        feature["minX"] = min(feature["minX"], float(xs.min()))
+        feature["minY"] = min(feature["minY"], float(ys.min()))
+        feature["maxX"] = max(feature["maxX"], float(xs.max()))
+        feature["maxY"] = max(feature["maxY"], float(ys.max()))
+        return
     min_x = feature["minX"]
     min_y = feature["minY"]
     max_x = feature["maxX"]
     max_y = feature["maxY"]
-    for i in range(0, len(points), 3):
+    for i in range(0, n, 3):
         x = points[i]
         y = points[i + 1]
         if x < min_x:

@@ -126,22 +126,35 @@ def _add_line(
     """Drop tiny rings against *original* size; keep significant points
     (reference `src/tile.ts:143-164`)."""
     sq_tolerance = tolerance * tolerance
+    pts = geom.points
+    n3 = len(pts)
 
     if tolerance > 0 and geom.size < (sq_tolerance if is_polygon else tolerance):
-        tile["numPoints"] += len(geom.points) // 3
+        tile["numPoints"] += n3 // 3
         return
 
-    ring: list[float] = []
-    pts = geom.points
-    for i in range(0, len(pts), 3):
-        if tolerance == 0 or pts[i + 2] > sq_tolerance:
-            tile["numSimplified"] += 1
-            ring.append(pts[i])
-            ring.append(pts[i + 1])
-        tile["numPoints"] += 1
+    import numpy as np
+
+    if isinstance(pts, np.ndarray) and n3 >= 120:
+        # vectorized significance filter (exact: pure comparisons + copy)
+        arr = pts.reshape(-1, 3)
+        kept = arr[:, :2] if tolerance == 0 else arr[arr[:, 2] > sq_tolerance][:, :2]
+        tile["numSimplified"] += len(kept)
+        tile["numPoints"] += len(arr)
+        ring = kept.reshape(-1).tolist()
+    else:
+        if isinstance(pts, np.ndarray):
+            pts = pts.tolist()
+        ring = []
+        for i in range(0, n3, 3):
+            if tolerance == 0 or pts[i + 2] > sq_tolerance:
+                tile["numSimplified"] += 1
+                ring.append(pts[i])
+                ring.append(pts[i + 1])
+            tile["numPoints"] += 1
 
     if is_polygon:
-        _rewind(ring, is_outer)
+        _rewind(ring, is_outer)  # sequential area sum — order is load-bearing
 
     result.append(ring)
 
