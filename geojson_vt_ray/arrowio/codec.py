@@ -52,7 +52,9 @@ FEATURE_FIELDS = [
     ("maxx", pa.float64()),
     ("maxy", pa.float64()),
     ("features_json", pa.string()),
-    ("seqs", pa.list_(pa.binary())),  # per-tile-feature order keys (partial tiles)
+    ("seqs", pa.list_(pa.binary())),
+    ("min_seq", pa.binary()),  # lineage: first/last input order key in this tile
+    ("max_seq", pa.binary()),  # per-tile-feature order keys (partial tiles)
     ("num_points", pa.int64()),
     ("num_simplified", pa.int64()),
     ("num_features", pa.int64()),
@@ -133,6 +135,8 @@ class LevelRowBuilder:
         c["maxy"].append(feature["maxY"])
         c["features_json"].append(None)
         c["seqs"].append([])
+        c["min_seq"].append(b"")
+        c["max_seq"].append(b"")
         c["num_points"].append(0)
         c["num_simplified"].append(0)
         c["num_features"].append(0)
@@ -140,10 +144,12 @@ class LevelRowBuilder:
     def add_marker(self, z: int, x: int, y: int) -> None:
         self._add_stub(KIND_MARKER, z, x, y)
 
-    def add_tile(self, tile: dict, features_json: str) -> None:
+    def add_tile(self, tile: dict, features_json: str, min_seq: bytes = b"", max_seq: bytes = b"") -> None:
         self._add_stub(KIND_TILE, tile["z"], tile["x"], tile["y"])
         c = self.cols
         c["features_json"][-1] = features_json
+        c["min_seq"][-1] = min_seq
+        c["max_seq"][-1] = max_seq
         c["num_points"][-1] = tile["numPoints"]
         c["num_simplified"][-1] = tile["numSimplified"]
         c["num_features"][-1] = tile["numFeatures"]
@@ -192,6 +198,8 @@ class LevelRowBuilder:
         c["maxy"].append(_NAN)
         c["features_json"].append(None)
         c["seqs"].append([])
+        c["min_seq"].append(b"")
+        c["max_seq"].append(b"")
         c["num_points"].append(0)
         c["num_simplified"].append(0)
         c["num_features"].append(0)

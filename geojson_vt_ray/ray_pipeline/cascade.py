@@ -44,7 +44,7 @@ from ..kernels.tile import create_tile, transform_tile_features
 from ..options import TilerOptions
 from .tiler import ConvertWrap, _clip_children
 
-TILE_COLUMNS = ["z", "x", "y", "features_json", "num_points", "num_simplified", "num_features"]
+TILE_COLUMNS = ["z", "x", "y", "features_json", "num_points", "num_simplified", "num_features", "min_seq", "max_seq"]
 
 
 class CascadeLevel:
@@ -152,6 +152,8 @@ def _merge_partials(group: pa.Table) -> pa.Table:
             "num_points": pa.array([np_], pa.int64()),
             "num_simplified": pa.array([ns], pa.int64()),
             "num_features": pa.array([nf], pa.int64()),
+            "min_seq": pa.array([pairs[0][0] if pairs else b""], pa.binary()),
+            "max_seq": pa.array([pairs[-1][0] if pairs else b""], pa.binary()),
         }
     )
 
@@ -256,7 +258,8 @@ class TileRowBuilder:
     """Narrow tile-only output rows (the single-pass drill emits nothing
     else — skipping the 24-column level schema saves ~15% drill CPU)."""
 
-    __slots__ = ("kind", "z", "x", "y", "features_json", "num_points", "num_simplified", "num_features")
+    __slots__ = ("kind", "z", "x", "y", "features_json", "num_points", "num_simplified",
+                 "num_features", "min_seq", "max_seq")
 
     def __init__(self) -> None:
         self.kind: list[int] = []
@@ -267,8 +270,10 @@ class TileRowBuilder:
         self.num_points: list[int] = []
         self.num_simplified: list[int] = []
         self.num_features: list[int] = []
+        self.min_seq: list[bytes] = []
+        self.max_seq: list[bytes] = []
 
-    def add_tile(self, tile: dict, features_json: str) -> None:
+    def add_tile(self, tile: dict, features_json: str, min_seq: bytes = b"", max_seq: bytes = b"") -> None:
         self.kind.append(KIND_TILE)
         self.z.append(tile["z"])
         self.x.append(tile["x"])
@@ -277,6 +282,8 @@ class TileRowBuilder:
         self.num_points.append(tile["numPoints"])
         self.num_simplified.append(tile["numSimplified"])
         self.num_features.append(tile["numFeatures"])
+        self.min_seq.append(min_seq)
+        self.max_seq.append(max_seq)
 
     def table(self) -> pa.Table:
         return pa.table(
@@ -289,6 +296,8 @@ class TileRowBuilder:
                 "num_points": pa.array(self.num_points, pa.int64()),
                 "num_simplified": pa.array(self.num_simplified, pa.int64()),
                 "num_features": pa.array(self.num_features, pa.int64()),
+                "min_seq": pa.array(self.min_seq, pa.binary()),
+                "max_seq": pa.array(self.max_seq, pa.binary()),
             }
         )
 
@@ -316,7 +325,12 @@ class DrillOrSplit:
 
         out = TileRowBuilder() if self.narrow else LevelRowBuilder()
         tile = create_tile([f for _, f in features], z, x, y, options)
-        out.add_tile(tile, json.dumps(transform_tile_features(tile, options.extent)))
+        out.add_tile(
+            tile,
+            json.dumps(transform_tile_features(tile, options.extent)),
+            features[0][0] if features else b"",
+            features[-1][0] if features else b"",
+        )
 
         if z >= options.max_zoom or not features:
             return out.table()
@@ -331,6 +345,8 @@ class DrillOrSplit:
                     out.add_tile(
                         child_tile,
                         json.dumps(transform_tile_features(child_tile, options.extent)),
+                        child[0][0] if child else b"",
+                        child[-1][0] if child else b"",
                     )
                     if cz + 1 < options.max_zoom and child:
                         stack.append((child, cz + 1, cx, cy, child_tile))
