@@ -144,8 +144,15 @@ class LevelRowBuilder:
     def add_marker(self, z: int, x: int, y: int) -> None:
         self._add_stub(KIND_MARKER, z, x, y)
 
-    def add_tile(self, tile: dict, features_json: str, min_seq: bytes = b"", max_seq: bytes = b"") -> None:
-        self._add_stub(KIND_TILE, tile["z"], tile["x"], tile["y"])
+    def add_tile(
+        self,
+        tile: dict,
+        features_json: str,
+        min_seq: bytes = b"",
+        max_seq: bytes = b"",
+        kind: int = KIND_TILE,
+    ) -> None:
+        self._add_stub(kind, tile["z"], tile["x"], tile["y"])
         c = self.cols
         c["features_json"][-1] = features_json
         c["min_seq"][-1] = min_seq

@@ -254,15 +254,19 @@ class TileServer:
         }
 
 
+KIND_CHUNK = 4  # pickled feature-chunk of a heavy tile, drilled in a map stage
+
+
 class TileRowBuilder:
     """Narrow tile-only output rows (the single-pass drill emits nothing
     else — skipping the 24-column level schema saves ~15% drill CPU)."""
 
-    __slots__ = ("kind", "z", "x", "y", "features_json", "num_points", "num_simplified",
-                 "num_features", "min_seq", "max_seq")
+    __slots__ = ("kind", "tkey", "z", "x", "y", "features_json", "num_points",
+                 "num_simplified", "num_features", "min_seq", "max_seq", "payload")
 
     def __init__(self) -> None:
         self.kind: list[int] = []
+        self.tkey: list[int] = []
         self.z: list[int] = []
         self.x: list[int] = []
         self.y: list[int] = []
@@ -272,9 +276,20 @@ class TileRowBuilder:
         self.num_features: list[int] = []
         self.min_seq: list[bytes] = []
         self.max_seq: list[bytes] = []
+        self.payload: list[bytes] = []
 
-    def add_tile(self, tile: dict, features_json: str, min_seq: bytes = b"", max_seq: bytes = b"") -> None:
-        self.kind.append(KIND_TILE)
+    def add_tile(
+        self,
+        tile: dict,
+        features_json: str,
+        min_seq: bytes = b"",
+        max_seq: bytes = b"",
+        kind: int = KIND_TILE,
+    ) -> None:
+        from ..arrowio.codec import tile_key
+
+        self.kind.append(kind)
+        self.tkey.append(tile_key(tile["z"], tile["x"], tile["y"]))
         self.z.append(tile["z"])
         self.x.append(tile["x"])
         self.y.append(tile["y"])
@@ -284,11 +299,29 @@ class TileRowBuilder:
         self.num_features.append(tile["numFeatures"])
         self.min_seq.append(min_seq)
         self.max_seq.append(max_seq)
+        self.payload.append(b"")
+
+    def add_chunk(self, z: int, x: int, y: int, payload: bytes) -> None:
+        from ..arrowio.codec import tile_key
+
+        self.kind.append(KIND_CHUNK)
+        self.tkey.append(tile_key(z, x, y))
+        self.z.append(z)
+        self.x.append(x)
+        self.y.append(y)
+        self.features_json.append("")
+        self.num_points.append(0)
+        self.num_simplified.append(0)
+        self.num_features.append(0)
+        self.min_seq.append(b"")
+        self.max_seq.append(b"")
+        self.payload.append(payload)
 
     def table(self) -> pa.Table:
         return pa.table(
             {
                 "kind": pa.array(self.kind, pa.int8()),
+                "tkey": pa.array(self.tkey, pa.int64()),
                 "z": pa.array(self.z, pa.int16()),
                 "x": pa.array(self.x, pa.int32()),
                 "y": pa.array(self.y, pa.int32()),
@@ -298,21 +331,113 @@ class TileRowBuilder:
                 "num_features": pa.array(self.num_features, pa.int64()),
                 "min_seq": pa.array(self.min_seq, pa.binary()),
                 "max_seq": pa.array(self.max_seq, pa.binary()),
+                "payload": pa.array(self.payload, pa.binary()),
             }
         )
 
 
-class DrillOrSplit:
-    """Hand-off stage: one call per co-located tile group. Tiles under the
-    point threshold drill their whole subtree locally (complete tile rows,
-    Python-object speed, zero further shuffles); heavy tiles emit their own
-    complete tile + 4-way-clipped child feature rows for another pass."""
+def _drill_subtree(
+    out, features: list, z: int, x: int, y: int, tile_bbox: dict, options: TilerOptions,
+    chunk_threshold=None,
+) -> None:
+    """Emit every descendant tile of (z, x, y) for these features.
 
-    def __init__(self, z: int, options: TilerOptions, heavy_threshold: int, narrow: bool = False):
+    With a chunk_threshold, subtrees whose estimated leaf-tile cost exceeds
+    it are deferred as KIND_CHUNK rows instead of drilled inline — child
+    subtrees are disjoint, so chunked drilling needs no merge and duplicates
+    nothing."""
+    import pickle
+
+    stack = [(features, z, x, y, tile_bbox)]
+    while stack:
+        feats, cz, cx0, cy0, ctile = stack.pop()
+        for cx, cy, child in _clip_children(feats, cz, cx0, cy0, options, ctile):
+            child_tile = create_tile([f for _, f in child], cz + 1, cx, cy, options)
+            out.add_tile(
+                child_tile,
+                json.dumps(transform_tile_features(child_tile, options.extent)),
+                child[0][0] if child else b"",
+                child[-1][0] if child else b"",
+            )
+            if cz + 1 < options.max_zoom and child:
+                if (
+                    chunk_threshold is not None
+                    and sum(_est_leaf_tiles(child, cz + 1, cx, cy, options.max_zoom))
+                    > chunk_threshold
+                ):
+                    out.add_chunk(cz + 1, cx, cy, pickle.dumps((child, cz + 1, cx, cy)))
+                else:
+                    stack.append((child, cz + 1, cx, cy, child_tile))
+
+
+def _est_leaf_tiles(pairs: list, z: int, x: int, y: int, max_zoom: int) -> list[float]:
+    """Per-feature drill-cost estimate in max-zoom leaf tiles:
+    clipped-geometry area × 4^mz (interior fill — every covered leaf is a
+    tile) + clipped perimeter × 2^mz (boundary tiles) + a per-point floor.
+    Uses the feature's *clipped* rings, so edge-crossing features (tiny area,
+    modest perimeter) stay cheap while interior-covering polygons are
+    detected. Drives heavy-tile chunking."""
+    import numpy as np
+
+    area_scale = 4.0 ** max_zoom
+    perim_scale = 2.0 ** max_zoom
+    ests = []
+    for _, f in pairs:
+        geometry = f["geometry"]
+        ftype = f["type"]
+        if ftype in ("Point", "MultiPoint"):
+            ests.append(8.0 + len(geometry) / 3)
+            continue
+        if ftype == "LineString":
+            rings = [geometry]
+        elif ftype in ("MultiLineString", "Polygon"):
+            rings = geometry
+        else:
+            rings = [r for poly in geometry for r in poly]
+        area = 0.0
+        perim = 0.0
+        npts = 0
+        for r in rings:
+            pts = r.points
+            arr = pts if isinstance(pts, np.ndarray) else np.asarray(pts, dtype=np.float64)
+            n = len(arr) // 3
+            npts += n
+            if n < 2:
+                continue
+            xs = arr[0::3]
+            ys = arr[1::3]
+            dx = np.diff(xs)
+            dy = np.diff(ys)
+            perim += float(np.sqrt(dx * dx + dy * dy).sum())
+            if ftype in ("Polygon", "MultiPolygon"):
+                area += abs(float((xs[:-1] * ys[1:] - xs[1:] * ys[:-1]).sum()) / 2.0)
+        ests.append(area * area_scale + perim * perim_scale + 8.0 + npts)
+    return ests
+
+
+class DrillOrSplit:
+    """Hand-off stage: one call per co-located tile group. Normal tiles drill
+    their whole subtree locally (complete tile rows, Python-object speed,
+    zero further shuffles). Heavy tiles — estimated to cover more than
+    ``chunk_threshold`` max-zoom leaf tiles — split their features into
+    contiguous-seq chunks that drill in a parallel map stage and merge per
+    tile afterwards (single giant features can't be split and remain the
+    per-task cost bound). The wide (non-narrow) mode instead re-splits heavy
+    tiles into child feature rows for another groupby pass."""
+
+    def __init__(
+        self,
+        z: int,
+        options: TilerOptions,
+        heavy_threshold: int,
+        narrow: bool = False,
+        chunk_threshold: float | None = None,
+    ):
         self.z = z
         self.options = options
         self.heavy_threshold = heavy_threshold
         self.narrow = narrow
+        self.chunk_threshold = chunk_threshold
 
     def __call__(self, group: pa.Table) -> pa.Table:
         options = self.options
@@ -335,27 +460,82 @@ class DrillOrSplit:
         if z >= options.max_zoom or not features:
             return out.table()
 
-        if self.narrow or tile["numPoints"] <= self.heavy_threshold or z >= options.max_zoom - 1:
-            # local subtree drill
-            stack = [(features, z, x, y, tile)]
-            while stack:
-                feats, cz, cx0, cy0, ctile = stack.pop()
-                for cx, cy, child in _clip_children(feats, cz, cx0, cy0, options, ctile):
-                    child_tile = create_tile([f for _, f in child], cz + 1, cx, cy, options)
-                    out.add_tile(
-                        child_tile,
-                        json.dumps(transform_tile_features(child_tile, options.extent)),
-                        child[0][0] if child else b"",
-                        child[-1][0] if child else b"",
-                    )
-                    if cz + 1 < options.max_zoom and child:
-                        stack.append((child, cz + 1, cx, cy, child_tile))
+        if self.narrow:
+            _drill_subtree(
+                out, features, z, x, y, tile, options, chunk_threshold=self.chunk_threshold
+            )
+            return out.table()
+
+        if tile["numPoints"] <= self.heavy_threshold or z >= options.max_zoom - 1:
+            _drill_subtree(out, features, z, x, y, tile, options)
         else:
             for cx, cy, child in _clip_children(features, z, x, y, options, tile):
                 out.add_marker(z + 1, cx, cy)
                 for seq, f in child:
                     out.add_feature(z + 1, cx, cy, seq, f)
         return out.table()
+
+
+class ChunkDrill:
+    """Parallel drill of deferred heavy subtrees. Each chunk's tile row was
+    already emitted by its parent task; this stage drills the descendants,
+    re-deferring any still-heavy grandchild subtree (the driver loops until
+    no chunks remain)."""
+
+    def __init__(self, options: TilerOptions, chunk_threshold: float):
+        self.options = options
+        self.chunk_threshold = chunk_threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pickle
+
+        out = TileRowBuilder()
+        for payload in batch.column("payload").to_pylist():
+            chunk, z, x, y = pickle.loads(payload)
+            bbox = {
+                "minX": min(f["minX"] for _, f in chunk),
+                "maxX": max(f["maxX"] for _, f in chunk),
+                "minY": min(f["minY"] for _, f in chunk),
+                "maxY": max(f["maxY"] for _, f in chunk),
+            }
+            _drill_subtree(
+                out, chunk, z, x, y, bbox, self.options,
+                chunk_threshold=self.chunk_threshold,
+            )
+        return out.table()
+
+
+def _merge_chunk_fragments(group: pa.Table) -> pa.Table:
+    rows = group.to_pylist()
+    rows.sort(key=lambda r: r["min_seq"])  # contiguous seq ranges → concat order
+    feats: list = []
+    np_ = ns = nf = 0
+    min_seq = b""
+    max_seq = b""
+    for r in rows:
+        np_ += r["num_points"]
+        ns += r["num_simplified"]
+        nf += r["num_features"]
+        fl = json.loads(r["features_json"]) if r["features_json"] else []
+        if fl:
+            if not feats:
+                min_seq = r["min_seq"]
+            max_seq = r["max_seq"]
+            feats.extend(fl)
+    first = rows[0]
+    return pa.table(
+        {
+            "z": pa.array([first["z"]], pa.int16()),
+            "x": pa.array([first["x"]], pa.int32()),
+            "y": pa.array([first["y"]], pa.int32()),
+            "features_json": pa.array([json.dumps(feats)], pa.string()),
+            "num_points": pa.array([np_], pa.int64()),
+            "num_simplified": pa.array([ns], pa.int64()),
+            "num_features": pa.array([nf], pa.int64()),
+            "min_seq": pa.array([min_seq], pa.binary()),
+            "max_seq": pa.array([max_seq], pa.binary()),
+        }
+    )
 
 
 def build_pyramid_fast(
@@ -365,6 +545,7 @@ def build_pyramid_fast(
     heavy_threshold: Optional[int] = None,
     batch_size: int = 1024,
     drill_partitions: int = 64,
+    chunk_threshold: Optional[float] = None,
 ) -> "ray.data.Dataset":
     """Production pyramid: shuffle-free cascade to ``z_handoff`` (shallow
     tiles assembled as mergeable partials), ONE groupby at the hand-off to
@@ -414,9 +595,12 @@ def build_pyramid_fast(
     )
 
     if heavy_threshold is None:
-        # single-pass: drill every hand-off tile's subtree in one stage —
-        # no extra materialize, the whole drill streams into the consumer
-        splitter = DrillOrSplit(z_handoff, options, 1 << 62, narrow=True)
+        # single-pass: drill every hand-off tile's subtree in one stage;
+        # heavy tiles emit bounded feature-chunks that drill in a parallel
+        # map stage and merge per tile (straggler control)
+        splitter = DrillOrSplit(
+            z_handoff, options, 1 << 62, narrow=True, chunk_threshold=chunk_threshold
+        )
 
         def run_single(group: pa.Table, _s=splitter) -> pa.Table:
             return _s(group)
@@ -426,11 +610,40 @@ def build_pyramid_fast(
             .groupby("skey")
             .map_groups(run_single, batch_format="pyarrow")
         )
-        complete = (
+        if chunk_threshold is None:
+            # fully streaming: drill output flows straight to the consumer
+            complete = (
+                level_out.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
+                .select_columns(TILE_COLUMNS)
+            )
+            return shallow_tiles.union(complete)
+
+        # chunked mode: monstrous subtrees are deferred as chunk rows and
+        # drilled in additional map rounds (disjoint subtrees → complete
+        # tiles, no merge). Costs one materialize per round; rounds ≈
+        # log4(monster/threshold).
+        level_out = level_out.materialize()
+        tiles = shallow_tiles.union(
             level_out.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
             .select_columns(TILE_COLUMNS)
         )
-        return shallow_tiles.union(complete)
+        chunks = level_out.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
+        while chunks.count() > 0:
+            nxt = (
+                chunks.repartition(drill_partitions)
+                .map_batches(
+                    ChunkDrill(options, chunk_threshold),
+                    batch_format="pyarrow",
+                    batch_size=1,
+                )
+                .materialize()
+            )
+            tiles = tiles.union(
+                nxt.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
+                .select_columns(TILE_COLUMNS)
+            )
+            chunks = nxt.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
+        return tiles
 
     tiles = shallow_tiles
     z = z_handoff

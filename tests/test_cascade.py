@@ -45,6 +45,28 @@ def test_fast_pyramid_matches_bfs_pyramid(ray_session):
     assert all(a[k] == c[k] for k in a)
 
 
+def test_fast_pyramid_chunked_heavy_tiles(ray_session):
+    """Force the heavy-tile chunked drill (tiny chunk_threshold) — output
+    must be identical to the unchunked single-pass drill."""
+    from geojson_vt_ray.ray_pipeline import cascade as cas
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    data = load_fixture("us-states.json")
+    rep = {"type": "FeatureCollection", "features": data["features"] * 2}
+    opts = TilerOptions(max_zoom=6)
+
+    a = _tiles_dict(cas.build_pyramid_fast(dataset_from_geojson(rep), opts, z_handoff=3))
+    b = _tiles_dict(
+        cas.build_pyramid_fast(
+            dataset_from_geojson(rep), opts, z_handoff=3, chunk_threshold=30.0
+        )
+    )
+
+    assert set(a) == set(b)
+    bad = [k for k in a if a[k] != b[k]]
+    assert not bad, bad[:5]
+
+
 def test_fast_pyramid_replicated_input(ray_session):
     """Replicated input (the bench shape): same tile keys, n x the features."""
     from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
