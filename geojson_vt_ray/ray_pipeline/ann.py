@@ -109,6 +109,65 @@ def brute_force_topk(
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def embedding_near_dup_pairs(
+    embeddings: "ray.data.Dataset",
+    threshold: float,
+    inorder: bool = True,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cos_sim) with
+    cos_sim >= threshold.
+
+    Each batch is compared against the full broadcast matrix (the small-side
+    pattern — at 100 TB the LSH-bucketed variant in `lsh_topk` bounds the
+    scan instead); only qualifying pairs leave the stage. ``inorder`` keeps
+    the accumulation bit-compatible with the DuckDB oracle.
+    """
+    import pyarrow.parquet  # noqa: F401  (ensures pyarrow fully loaded in workers)
+
+    # broadcast the full matrix once
+    def collect(batch: pa.Table) -> pa.Table:
+        return batch
+
+    # materialize the full (small) embedding matrix on the driver
+    all_tbl = pa.concat_tables(
+        [b for b in embeddings.map_batches(collect, batch_format="pyarrow").iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )]
+    )
+    all_ids = all_tbl.column("vec_id").to_numpy()
+    full = _emb_matrix(all_tbl)
+    refs = ray.put((all_ids, full))
+
+    def stage(batch: pa.Table) -> pa.Table:
+        ids_all, mat = ray.get(refs)
+        embs = _emb_matrix(batch)
+        vec_ids = batch.column("vec_id").to_numpy()
+        if inorder:
+            sims = _cosine_inorder(mat, embs)  # (batch, all)
+        else:
+            a = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+            b = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = a @ b.T
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_s: list[float] = []
+        for i in range(len(vec_ids)):
+            hit = np.nonzero((sims[i] >= threshold) & (ids_all > vec_ids[i]))[0]
+            for j in hit:
+                out_a.append(int(vec_ids[i]))
+                out_b.append(int(ids_all[j]))
+                out_s.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "vec_a": pa.array(out_a, pa.int64()),
+                "vec_b": pa.array(out_b, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    return embeddings.map_batches(stage, batch_format="pyarrow")
+
+
 def hyperplane_signatures(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
     """Random-hyperplane LSH bucket ids (one bit per plane)."""
     bits = (vectors @ planes.T) >= 0

@@ -267,6 +267,31 @@ def q_rect_pyramid(sf_dir: str):
     return tiles.select_columns(["z", "x", "y", "num_features", "num_points", "num_simplified"])
 
 
+def q_emb_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (threshold 0.32; in-order
+    accumulation matches the DuckDB oracle bit-exactly)."""
+    from .ann import embedding_near_dup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_near_dup_pairs(emb, threshold=0.32)
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs over documents (non-SQL)."""
+    from .text import ngram_jaccard_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+def q_doc_bpe_tokens(sf_dir: str):
+    """BPE-ish regex token counts (non-SQL: regex class semantics)."""
+    from .text import bpe_token_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_token_counts(docs)
+
+
 def q_rect_raster(sf_dir: str):
     """Raster tiles from the sliced rectangle layer (z0..z3): per-tile
     scanline rasterization coverage (non-SQL)."""
@@ -313,6 +338,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly": q_events_hourly,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "emb_near_dup": q_emb_near_dup,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_bpe_tokens": q_doc_bpe_tokens,
 }
 
 
@@ -378,6 +406,16 @@ ORACLES: dict[str, str] = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "emb_near_dup": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_dot_product(a.e, b.e)
+                 / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) AS cos_sim
+        FROM v a, v b
+        WHERE b.vec_id > a.vec_id
+          AND list_dot_product(a.e, b.e)
+                / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.32
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -313,6 +313,101 @@ def verify_jaccard(
     return out
 
 
+# ----------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset", threshold: float = 0.5, shingle_k: int = 3
+) -> "ray.data.Dataset":
+    """Exact all-pairs n-gram Jaccard near-dup detection.
+
+    Each batch compares its docs against the broadcast full shingle-set
+    table (hashes only — texts never ship); emits (doc_a < doc_b, jaccard)
+    above the threshold. Quadratic — the LSH path (`minhash_candidate_pairs`)
+    is the scale variant; this is the exactness baseline it is verified
+    against.
+    """
+    import ray as _ray
+
+    def shingle_stage(batch: pa.Table) -> pa.Table:
+        rows = []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            hs = sorted(
+                int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big") >> 1
+                for s in _token_shingles(text, shingle_k)
+            )
+            rows.append({"doc_id": did, "shingles": hs})
+        return pa.Table.from_pylist(
+            rows,
+            schema=pa.schema([("doc_id", pa.int64()), ("shingles", pa.list_(pa.int64()))]),
+        )
+
+    shingled = docs.map_batches(shingle_stage, batch_format="pyarrow")
+    all_sets = {
+        r["doc_id"]: frozenset(r["shingles"]) for r in shingled.iter_rows()
+    }
+    sets_ref = _ray.put(all_sets)
+
+    def pair_stage(batch: pa.Table) -> pa.Table:
+        sets = _ray.get(sets_ref)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_j: list[float] = []
+        for did in batch.column("doc_id").to_pylist():
+            sa = sets[did]
+            for other, sb in sets.items():
+                if other <= did:
+                    continue
+                inter = len(sa & sb)
+                if inter == 0:
+                    continue
+                j = inter / (len(sa) + len(sb) - inter)
+                if j >= threshold:
+                    out_a.append(did)
+                    out_b.append(other)
+                    out_j.append(j)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    return shingled.map_batches(pair_stage, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- BPE-ish tokenization
+
+_BPE_RE = re.compile(
+    r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+|\s+"
+)
+
+
+def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Token counting with a BPE-ish pretokenizer regex (letter runs, short
+    digit groups, punctuation runs, whitespace runs — GPT-2-style shape)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tokens = np.empty(len(texts), dtype=np.int64)
+        n_word = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = _BPE_RE.findall(t)
+            n_tokens[i] = sum(1 for tk in toks if not tk.isspace())
+            n_word[i] = sum(1 for tk in toks if tk[:1].isalpha())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_bpe_tokens": pa.array(n_tokens),
+                "n_word_tokens": pa.array(n_word),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------- SimHash
 
 def simhash_signatures(docs: "ray.data.Dataset", shingle_k: int = 2) -> "ray.data.Dataset":

@@ -99,6 +99,66 @@ def test_ann_lsh_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.4  # 4-plane LSH scans ~1/16 of the data
 
 
+def test_ngram_jaccard_exact_and_minhash_recall(ray_session):
+    """Exact all-pairs Jaccard agrees with set arithmetic; MinHash-LSH
+    recovers the high-similarity pairs it is an approximation of."""
+    from geojson_vt_ray.ray_pipeline.text import (
+        _token_shingles,
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    near = base.replace("delta", "delta4")
+    texts = [base, near] + [
+        f"unrelated doc {i} " + " ".join(f"w{i}_{j}" for j in range(30)) for i in range(12)
+    ]
+    docs = _docs_ds(texts)
+
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.3).iter_rows()}
+    assert (0, 1) in exact
+    sa = _token_shingles(base, 3)
+    sb = _token_shingles(near, 3)
+    assert exact[(0, 1)] == len(sa & sb) / len(sa | sb)
+
+    lsh = {(int(r["doc_a"]), int(r["doc_b"]))
+           for r in minhash_candidate_pairs(docs).iter_rows()}
+    high = {p for p, j in exact.items() if j >= 0.6}
+    assert high <= lsh  # LSH must recover all strongly-similar pairs here
+
+
+def test_embedding_near_dup_pairs(ray_session):
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.ann import embedding_near_dup_pairs
+
+    rs = np.random.RandomState(3)
+    base = rs.standard_normal(16)
+    vecs = [base, base + rs.standard_normal(16) * 0.05] + [
+        rs.standard_normal(16) for _ in range(30)
+    ]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_near_dup_pairs(ray.data.from_arrow(table), threshold=0.9).to_pandas()
+    assert {(0, 1)} == set(zip(out["vec_a"], out["vec_b"]))
+    assert (out["cos_sim"] >= 0.9).all()
+
+
+def test_bpe_token_counts(ray_session):
+    from geojson_vt_ray.ray_pipeline.text import bpe_token_counts
+
+    out = {r["doc_id"]: (r["n_bpe_tokens"], r["n_word_tokens"])
+           for r in bpe_token_counts(_docs_ds(["hello, world 1234!", "a b"])).iter_rows()}
+    # hello | , | world | 123 | 4 | !  -> 6 non-space tokens, 2 word tokens
+    assert out[0] == (6, 2)
+    assert out[1] == (2, 2)
+
+
 def test_fingerprint_order_sensitivity(ray_session):
     from geojson_vt_ray.ray_pipeline.text import fingerprints
 
