@@ -315,6 +315,118 @@ def pip_join_world(
     return points.map_batches(stage, batch_format="pyarrow")
 
 
+def pip_join_copartitioned(
+    points: "ray.data.Dataset",
+    polygon_tiles: "ray.data.Dataset",
+    z: int,
+) -> "ray.data.Dataset":
+    """Both-sides-large PIP join: points and sliced polygon tiles are
+    co-partitioned on the zoom-z tile key and joined per group — no
+    broadcast, no full scan of either side.
+
+    Partitioning assumption (documented per SURVEY.md §2.8): the polygon
+    side is the tiler's tile output at zoom z, sliced with ``tolerance=0``;
+    membership is tested in integer tile space, so results quantize at
+    1/extent of a tile — identical to `pip_join` (broadcast variant); use
+    `pip_join_world` for bit-exact dyadic membership when the polygon side
+    fits a broadcast.
+    """
+    import pyarrow.compute as pc
+
+    extent_default = 4096
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        phash = batch.column("phash").to_numpy()
+        tx, ty = tile_xy(phash, z)
+        tkey = (ty.astype(np.int64) << 32) | tx.astype(np.int64)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey),
+                "side": pa.array(np.zeros(len(tkey), dtype=np.int8)),
+                "image_id": batch.column("image_id"),
+                "phash": batch.column("phash"),
+                "payload": pa.array([""] * len(tkey), pa.string()),
+            }
+        )
+
+    def tag_polys(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("z"), pa.scalar(z, batch.column("z").type))
+        batch = batch.filter(mask)
+        xs = batch.column("x").to_numpy().astype(np.int64)
+        ys = batch.column("y").to_numpy().astype(np.int64)
+        tkey = (ys << 32) | xs
+        n = len(tkey)
+        return pa.table(
+            {
+                "tkey": pa.array(tkey),
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "image_id": pa.array([""] * n, pa.string()),
+                "phash": pa.array(np.zeros(n, dtype=np.int64)),
+                "payload": batch.column("features_json").cast(pa.string()),
+            }
+        )
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        polygon_tiles.map_batches(tag_polys, batch_format="pyarrow")
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
+
+        sides = group.column("side").to_numpy()
+        poly_rows = [group.column("payload")[i].as_py() for i in np.nonzero(sides == 1)[0]]
+        if not poly_rows:
+            return pa.table(
+                {"image_id": pa.array([], pa.string()), "poly_id": pa.array([], pa.string())}
+            )
+        pt_idx = np.nonzero(sides == 0)[0]
+        if not len(pt_idx):
+            return pa.table(
+                {"image_id": pa.array([], pa.string()), "poly_id": pa.array([], pa.string())}
+            )
+        tkey = int(group.column("tkey")[0].as_py())
+        tx = tkey & 0xFFFFFFFF
+        ty = tkey >> 32
+        phash = group.column("phash").to_numpy()[pt_idx]
+        ids = group.column("image_id").take(pa.array(pt_idx)).to_pylist()
+        mx, my = mercator_xy(phash)
+        z2 = 1 << z
+        px = (mx * z2 - tx) * extent_default
+        py = (my * z2 - ty) * extent_default
+
+        out_img: list[str] = []
+        out_poly: list[str] = []
+        for fj in poly_rows:
+            for f in json.loads(fj):
+                if f["type"] != 3:
+                    continue
+                rings = [np.asarray(r, dtype=np.float64) for r in f["geometry"] if len(r) >= 3]
+                if not rings:
+                    continue
+                inside = np.zeros(len(px), dtype=bool)
+                for ring in rings:
+                    xs = ring[:, 0][None, :]
+                    ys = ring[:, 1][None, :]
+                    x1 = np.roll(ring[:, 0], -1)[None, :]
+                    y1 = np.roll(ring[:, 1], -1)[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cross = ((ys > py[:, None]) != (y1 > py[:, None])) & (
+                            px[:, None] < (x1 - xs) * (py[:, None] - ys) / (y1 - ys) + xs
+                        )
+                    inside ^= (cross.sum(axis=1) % 2).astype(bool)
+                for i in np.nonzero(inside)[0]:
+                    out_img.append(ids[i])
+                    out_poly.append(str(f.get("id")))
+        return pa.table(
+            {
+                "image_id": pa.array(out_img, pa.string()),
+                "poly_id": pa.array(out_poly, pa.string()),
+            }
+        )
+
+    return tagged.groupby("tkey").map_groups(join_group, batch_format="pyarrow")
+
+
 def pip_join(
     points: "ray.data.Dataset",
     polygon_tiles: list[dict],
