@@ -14,7 +14,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -75,9 +74,9 @@ def brute_force_topk(
                 en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
                 sims = qn @ en.T
             kk = min(k + 1 if exclude_self else k, sims.shape[1])
-            out_q: list[int] = []
-            out_n: list[int] = []
-            out_s: list[float] = []
+            out_q: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
             for qi in range(sims.shape[0]):
                 s = sims[qi]
                 if kk < len(s):
@@ -86,86 +85,137 @@ def brute_force_topk(
                     part = np.nonzero(s >= thresh)[0]  # widen boundary ties
                 else:
                     part = np.arange(len(s))
-                for j in part:
-                    out_q.append(int(self.qids[qi]))
-                    out_n.append(int(vec_ids[j]))
-                    out_s.append(float(s[j]))
+                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
+                out_n.append(vec_ids[part].astype(np.int64))
+                out_s.append(s[part])
             return pa.table(
                 {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "cos_sim": pa.array(out_s, pa.float64()),
+                    "query_id": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
+                    "cos_sim": pa.array(np.concatenate(out_s) if out_s else [], pa.float64()),
                 }
             )
 
     partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
+    return partial.groupby("query_id").map_groups(
+        _topk_merge(k, exclude_self), batch_format="pyarrow"
+    )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+
+def _topk_merge(k: int, exclude_self: bool):
+    """Typed Arrow per-query top-k merge: (-cos_sim, neighbor_id) order with
+    deterministic ties; returns a correctly-typed empty table when the self
+    filter drains the group (no schema-less blocks)."""
+    import pyarrow.compute as pc
+
+    def merge(g: pa.Table) -> pa.Table:
         if exclude_self:
-            g = g[g["neighbor_id"] != g["query_id"].iloc[0]]
-        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
-        return g.head(k)
+            g = g.filter(pc.not_equal(g.column("neighbor_id"), g.column("query_id")[0]))
+        idx = pc.sort_indices(
+            g, sort_keys=[("cos_sim", "descending"), ("neighbor_id", "ascending")]
+        )
+        return g.take(idx[:k])
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return merge
+
+
+_EMPTY_PAIRS = pa.table(
+    {
+        "vec_a": pa.array([], pa.int64()),
+        "vec_b": pa.array([], pa.int64()),
+        "cos_sim": pa.array([], pa.float64()),
+    }
+)
 
 
 def embedding_near_dup_pairs(
     embeddings: "ray.data.Dataset",
     threshold: float,
     inorder: bool = True,
+    n_blocks: int = 8,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cos_sim) with
-    cos_sim >= threshold.
+    cos_sim >= threshold — EXACT, via a distributed grid self-join.
 
-    Each batch is compared against the full broadcast matrix (the small-side
-    pattern — at 100 TB the LSH-bucketed variant in `lsh_topk` bounds the
-    scan instead); only qualifying pairs leave the stage. ``inorder`` keeps
-    the accumulation bit-compatible with the DuckDB oracle.
+    Vectors hash into ``n_blocks`` blocks; each vector replicates once per
+    block into grid cell (min(own, other), max(own, other)), and a
+    ``groupby(grid cell)`` computes the block-pair similarity matrix inside
+    the group. Nothing materializes on the driver and no task sees more than
+    two blocks; replication cost is n·n_blocks rows. The O(n²) FLOPs are
+    inherent to the exact contract — `lsh_topk`'s hyperplane bucketing is the
+    approximate 100 TB path. ``inorder`` keeps the accumulation
+    bit-compatible with the DuckDB oracle (sequential float64 over dims).
     """
-    import pyarrow.parquet  # noqa: F401  (ensures pyarrow fully loaded in workers)
 
-    # broadcast the full matrix once
-    def collect(batch: pa.Table) -> pa.Table:
-        return batch
-
-    # materialize the full (small) embedding matrix on the driver
-    all_tbl = pa.concat_tables(
-        [b for b in embeddings.map_batches(collect, batch_format="pyarrow").iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        )]
-    )
-    all_ids = all_tbl.column("vec_id").to_numpy()
-    full = _emb_matrix(all_tbl)
-    refs = ray.put((all_ids, full))
-
-    def stage(batch: pa.Table) -> pa.Table:
-        ids_all, mat = ray.get(refs)
-        embs = _emb_matrix(batch)
+    def replicate(batch: pa.Table) -> pa.Table:
         vec_ids = batch.column("vec_id").to_numpy()
-        if inorder:
-            sims = _cosine_inorder(mat, embs)  # (batch, all)
-        else:
-            a = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-            b = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = a @ b.T
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_s: list[float] = []
-        for i in range(len(vec_ids)):
-            hit = np.nonzero((sims[i] >= threshold) & (ids_all > vec_ids[i]))[0]
-            for j in hit:
-                out_a.append(int(vec_ids[i]))
-                out_b.append(int(ids_all[j]))
-                out_s.append(float(sims[i, j]))
+        # bijective odd-constant mix → balanced, deterministic block id
+        blk = (
+            (vec_ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % np.uint64(n_blocks)
+        ).astype(np.int64)
+        n = len(vec_ids)
+        others = np.tile(np.arange(n_blocks, dtype=np.int64), n)
+        own = np.repeat(blk, n_blocks)
+        lo = np.minimum(own, others)
+        hi = np.maximum(own, others)
+        idx = np.repeat(np.arange(n), n_blocks)
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
         return pa.table(
             {
-                "vec_a": pa.array(out_a, pa.int64()),
-                "vec_b": pa.array(out_b, pa.int64()),
-                "cos_sim": pa.array(out_s, pa.float64()),
+                "gkey": pa.array(lo * n_blocks + hi),
+                "blk": pa.array(own),
+                "vec_id": pa.array(vec_ids[idx]),
+                "embedding": emb.take(pa.array(idx)),
             }
         )
 
-    return embeddings.map_batches(stage, batch_format="pyarrow")
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        gkey = int(group.column("gkey")[0].as_py())
+        lo, hi = divmod(gkey, n_blocks)
+        ids = group.column("vec_id").to_numpy()
+        blk = group.column("blk").to_numpy()
+        mat = _emb_matrix(group)
+
+        def sims_of(a_mat, b_mat):
+            if inorder:
+                return _cosine_inorder(b_mat, a_mat)  # (len(a), len(b))
+            an = a_mat / np.linalg.norm(a_mat, axis=1, keepdims=True)
+            bn = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+            return an @ bn.T
+
+        if lo == hi:
+            sims = sims_of(mat, mat)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a_ids, b_ids = ids[ia], ids[ib]
+            s = sims[ia, ib]
+        else:
+            ma = blk == lo
+            mb = ~ma
+            if not ma.any() or not mb.any():
+                return _EMPTY_PAIRS
+            sims = sims_of(mat[ma], mat[mb])
+            ia, ib = np.divmod(np.arange(sims.size), sims.shape[1])
+            a_ids, b_ids = ids[ma][ia], ids[mb][ib]
+            s = sims.reshape(-1)
+        keep = s >= threshold
+        a_ids, b_ids, s = a_ids[keep], b_ids[keep], s[keep]
+        swap = a_ids > b_ids  # canonical vec_a < vec_b (cosine is symmetric)
+        return pa.table(
+            {
+                "vec_a": pa.array(np.where(swap, b_ids, a_ids).astype(np.int64)),
+                "vec_b": pa.array(np.where(swap, a_ids, b_ids).astype(np.int64)),
+                "cos_sim": pa.array(s, pa.float64()),
+            }
+        )
+
+    return (
+        embeddings.map_batches(replicate, batch_format="pyarrow")
+        .groupby("gkey")
+        .map_groups(cell_pairs, batch_format="pyarrow")
+    )
 
 
 def hyperplane_signatures(vectors: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -204,9 +254,9 @@ def lsh_topk(
             vec_ids = batch.column("vec_id").to_numpy()
             esig = hyperplane_signatures(embs, self.planes)
             en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-            out_q: list[int] = []
-            out_n: list[int] = []
-            out_s: list[float] = []
+            out_q: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
             for qi in range(len(self.qids)):
                 xor = np.bitwise_xor(esig, self.qsig[qi])
                 # popcount via bit-twiddling (values < 2^n_planes, small)
@@ -222,23 +272,26 @@ def lsh_topk(
                 ids = vec_ids[mask]
                 kk = min(k + 1, len(sims))
                 part = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
-                for j in part:
-                    out_q.append(int(self.qids[qi]))
-                    out_n.append(int(ids[j]))
-                    out_s.append(float(sims[j]))
+                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
+                out_n.append(ids[part].astype(np.int64))
+                out_s.append(sims[part])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "cos_sim": pa.array([], pa.float64()),
+                    }
+                )
             return pa.table(
                 {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.int64()),
-                    "cos_sim": pa.array(out_s, pa.float64()),
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
                 }
             )
 
     partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[g["neighbor_id"] != g["query_id"].iloc[0]]
-        g = g.sort_values(["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort")
-        return g.head(k)
-
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(
+        _topk_merge(k, exclude_self=True), batch_format="pyarrow"
+    )

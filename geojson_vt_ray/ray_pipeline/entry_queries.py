@@ -277,7 +277,8 @@ def q_emb_near_dup(sf_dir: str):
 
 
 def q_doc_ngram_jaccard(sf_dir: str):
-    """Exact n-gram Jaccard near-dup pairs over documents (non-SQL)."""
+    """Exact n-gram Jaccard near-dup pairs via the distributed inverted-index
+    join (oracle: all-pairs SQL over string shingles — same answer)."""
     from .text import ngram_jaccard_pairs
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -285,7 +286,8 @@ def q_doc_ngram_jaccard(sf_dir: str):
 
 
 def q_doc_bpe_tokens(sf_dir: str):
-    """BPE-ish regex token counts (non-SQL: regex class semantics)."""
+    """BPE-ish regex token counts (oracle: DuckDB regexp_extract_all with the
+    identical RE2-compatible pattern)."""
     from .text import bpe_token_counts
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -342,6 +344,72 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_bpe_tokens": q_doc_bpe_tokens,
 }
+
+
+# ---- text-operator oracle building blocks ----------------------------------
+# Token hash = md5_number_lower (== geojson_vt_ray.ray_pipeline.text.md5_u64);
+# k-shingle hash = wraparound (mod 2^64) dot product with SHINGLE_PRIMES —
+# HUGEINT arithmetic + one final mod is ring-equal to numpy uint64 wraparound.
+
+_U64 = "18446744073709551616"
+_TOKS_CTE = "toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)"
+_TH_CTE = (
+    "th AS (SELECT doc_id, "
+    "list_transform(t, s -> CAST(md5_number_lower(s) AS HUGEINT)) AS h, "
+    "len(t) AS n FROM toks)"
+)
+
+
+def _shingle_cte(k: int) -> str:
+    from .text import SHINGLE_PRIMES
+
+    primes = SHINGLE_PRIMES[:k]
+    window = " + ".join(f"h[i+{j}]*{p}" for j, p in enumerate(primes))
+    short = " + ".join(f"h[{j + 1}]*{p}" for j, p in enumerate(primes))
+    # short-doc (< k tokens) case: all tokens in one window; list_sum of the
+    # per-position products (positions beyond n simply absent)
+    return (
+        f"sh AS (SELECT doc_id, CASE WHEN n >= {k} THEN "
+        f"list_distinct(list_transform(generate_series(1, n-{k - 1}), "
+        f"i -> ({window}) % {_U64})) "
+        f"ELSE [list_sum(list_transform(generate_series(1, n), "
+        f"j -> h[j] * ([{', '.join(str(p) for p in primes)}])[j])) % {_U64}] END AS s "
+        f"FROM th)"
+    )
+
+
+def _minhash_oracle_sql(n_perm: int = 64, bands: int = 16, shingle_k: int = 3) -> str:
+    from .text import SHINGLE_PRIMES, minhash_params
+
+    a, b = minhash_params(n_perm)
+    rpb = n_perm // bands
+    a_list = ", ".join(str(int(v)) for v in a)
+    b_list = ", ".join(str(int(v)) for v in b)
+    q_list = ", ".join(str(p) for p in SHINGLE_PRIMES[:rpb])
+    return f"""
+        WITH {_TOKS_CTE}, {_TH_CTE}, {_shingle_cte(shingle_k)},
+        shingle AS (SELECT doc_id, unnest(s) AS sv FROM sh),
+        perms AS (SELECT i AS perm, ([{a_list}])[i+1] AS a, ([{b_list}])[i+1] AS b
+                  FROM generate_series(0, {n_perm - 1}) AS g(i)),
+        vals AS (SELECT doc_id, perm,
+                        min((a * (sv % 2147483647) + b) % 2147483647) AS r
+                 FROM shingle, perms GROUP BY doc_id, perm),
+        bh AS (SELECT doc_id, perm // {rpb} AS band,
+                      CAST((sum(CAST(r AS HUGEINT)
+                                * ([{q_list}])[(perm % {rpb}) + 1]) % {_U64}) // 2
+                           AS BIGINT) AS band_hash
+               FROM vals GROUP BY doc_id, perm // {rpb})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        FROM bh a JOIN bh b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND b.doc_id > a.doc_id
+        GROUP BY 1, 2
+    """
+
+
+_STOPWORDS_SQL = ", ".join(
+    f"'{w}'"
+    for w in "the a an and or of to in is are was were be been it this that with for on as at by".split()
+)
 
 
 ORACLES: dict[str, str] = {
@@ -416,6 +484,97 @@ ORACLES: dict[str, str] = {
         WHERE b.vec_id > a.vec_id
           AND list_dot_product(a.e, b.e)
                 / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.32
+    """,
+    "doc_fingerprints": """
+        SELECT doc_id,
+               CAST(list_reduce(
+                      list_prepend(CAST(0 AS HUGEINT),
+                        list_transform(string_split(text, ' '),
+                                       s -> CAST(md5_number_lower(s) AS HUGEINT))),
+                      (acc, x) -> (acc * 1000003 + x) % 2305843009213693951)
+                    AS BIGINT) AS fingerprint
+        FROM documents
+    """,
+    "doc_simhash": f"""
+        WITH {_TOKS_CTE}, {_TH_CTE}, {_shingle_cte(2)},
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (sv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                 FROM (SELECT doc_id, unnest(s) AS sv FROM sh),
+                      generate_series(0, 63) AS g(b)
+                 GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN acc >= 0 THEN (CAST(1 AS HUGEINT) << b)
+                                ELSE CAST(0 AS HUGEINT) END) AS v
+                FROM bits GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(CASE WHEN v >= 9223372036854775808 THEN v - {_U64} ELSE v END
+                    AS BIGINT) AS simhash
+        FROM sig
+    """,
+    "doc_bpe_tokens": r"""
+        WITH toks AS (SELECT doc_id,
+               regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]{1,3}|[^ \t\n\r\fA-Za-z0-9]+|[ \t\n\r\f]+') AS t
+             FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(t, x -> NOT regexp_matches(x, '^[ \t\n\r\f]')))
+                    AS BIGINT) AS n_bpe_tokens,
+               CAST(len(list_filter(t, x -> regexp_matches(x, '^[A-Za-z]')))
+                    AS BIGINT) AS n_word_tokens
+        FROM toks
+    """,
+    "doc_ngram_jaccard": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) >= 3 THEN
+                        list_distinct(list_transform(generate_series(1, len(t)-2),
+                                                     i -> array_to_string(t[i:i+2], ' ')))
+                      ELSE [array_to_string(t, ' ')] END AS s
+               FROM toks)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+          FROM sh a, sh b WHERE b.doc_id > a.doc_id)
+        WHERE jaccard >= 0.2
+    """,
+    "doc_minhash_candidates": _minhash_oracle_sql(),
+    "doc_quality": f"""
+        WITH w AS (SELECT doc_id, text,
+                          regexp_extract_all(text, '[A-Za-z]+') AS words
+                   FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                 CAST(len(list_filter(words, x -> lower(x) IN ({_STOPWORDS_SQL})))
+                      AS DOUBLE) / len(words) END AS stop_ratio,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                 / GREATEST(1, length(text)) AS alpha_ratio,
+               CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                 CAST(list_sum(list_transform(words, x -> length(x))) AS DOUBLE)
+                   / len(words) END AS mean_word_len
+        FROM w
+    """,
+    "doc_langid": r"""
+        WITH t AS (SELECT doc_id, lower(substr(text, 1, 500)) AS tl,
+                          substr(text, 1, 200) AS head
+                   FROM documents),
+        tok AS (SELECT doc_id, head,
+                       list_distinct(string_split_regex(tl, '\s+')) AS toks
+                FROM t),
+        hits AS (SELECT doc_id, head,
+                        len(list_intersect(toks, ['the','and','of','to','is'])) AS h_en,
+                        len(list_intersect(toks, ['der','die','und','das','ist'])) AS h_de,
+                        len(list_intersect(toks, ['le','la','et','les','est'])) AS h_fr,
+                        len(list_intersect(toks, ['el','la','los','es','y'])) AS h_es
+                 FROM tok)
+        SELECT doc_id,
+               CASE WHEN length(regexp_replace(head, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 5
+                      THEN 'zh'
+                    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es THEN 'en'
+                    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                    WHEN h_fr >= h_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM hits
     """,
     "ann_topk": """
         WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

@@ -121,13 +121,15 @@ def knn_join(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             mx, my = mercator_xy(batch.column("phash").to_numpy())
-            ids = batch.column("image_id").to_pylist()
             dx = mx[None, :] - self.qmx[:, None]
             dy = my[None, :] - self.qmy[:, None]
             d2 = dx * dx + dy * dy  # (Q, B)
-            out_q: list = []
-            out_n: list = []
-            out_d: list = []
+            ids_arr = batch.column("image_id")
+            if isinstance(ids_arr, pa.ChunkedArray):
+                ids_arr = ids_arr.combine_chunks()
+            out_q: list[np.ndarray] = []
+            out_n: list[pa.Array] = []
+            out_d: list[np.ndarray] = []
             kk = min(k + 1 if exclude_self else k, d2.shape[1])
             for qi in range(d2.shape[0]):
                 if kk < d2.shape[1]:
@@ -138,30 +140,37 @@ def knn_join(
                     part = np.nonzero(d2[qi] <= thresh)[0]
                 else:
                     part = np.arange(d2.shape[1])
-                for j in part:
-                    out_q.append(int(self.qids[qi]))
-                    out_n.append(ids[j])
-                    out_d.append(float(d2[qi, j]))
+                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
+                out_n.append(ids_arr.take(pa.array(part)))
+                out_d.append(d2[qi, part])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.string()),
+                        "d2": pa.array([], pa.float64()),
+                    }
+                )
             return pa.table(
                 {
-                    "query_id": pa.array(out_q, pa.int64()),
-                    "neighbor_id": pa.array(out_n, pa.string()),
-                    "d2": pa.array(out_d, pa.float64()),
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.concat_arrays(out_n),
+                    "d2": pa.array(np.concatenate(out_d), pa.float64()),
                 }
             )
 
     partial = points.map_batches(PartialKnn, batch_format="pyarrow", concurrency=(1, 32))
 
-    import pandas as pd
+    import pyarrow.compute as pc
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["d2", "neighbor_id"], kind="mergesort")
+    def merge(g: pa.Table) -> pa.Table:
         if exclude_self:
-            qid = int(g["query_id"].iloc[0])
-            g = g[g["neighbor_id"] != f"img-{qid:012d}"]
-        return g.head(k)
+            qid = int(g.column("query_id")[0].as_py())
+            g = g.filter(pc.not_equal(g.column("neighbor_id"), f"img-{qid:012d}"))
+        idx = pc.sort_indices(g, sort_keys=[("d2", "ascending"), ("neighbor_id", "ascending")])
+        return g.take(idx[:k])
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 class TilePolygonIndex:
@@ -186,24 +195,6 @@ class TilePolygonIndex:
             if polys:
                 self.tiles[(row["x"], row["y"])] = polys
 
-    def contains(self, tx: int, ty: int, px: float, py: float) -> list:
-        """Even-odd ray-cast of a tile-space point against this tile's
-        polygons; returns matching polygon ids."""
-        out = []
-        for pid, rings in self.tiles.get((tx, ty), ()):  # type: ignore[arg-type]
-            inside = False
-            for ring in rings:
-                xs = ring[:, 0]
-                ys = ring[:, 1]
-                x1 = np.roll(xs, -1)
-                y1 = np.roll(ys, -1)
-                cross = ((ys > py) != (y1 > py)) & (
-                    px < (x1 - xs) * (py - ys) / (y1 - ys) + xs
-                )
-                inside ^= bool(np.count_nonzero(cross) % 2)
-            if inside:
-                out.append(pid)
-        return out
 
 
 def slice_polygons_to_tiles(features: list[dict], z: int, extent: int = 4096) -> dict:
@@ -434,40 +425,68 @@ def pip_join(
     extent: int = 4096,
 ) -> "ray.data.Dataset":
     """Point-in-polygon join: phash-georeferenced points × polygons sliced to
-    zoom-z tiles. Polygon side broadcast (small); points never shuffle."""
+    zoom-z tiles (integer tile space). Polygon side broadcast (small); points
+    never shuffle. Vectorized like `pip_join_world`: the batch is sorted by
+    tile key and each (tile, polygon) pair ray-casts all of the batch's
+    points in that tile at once."""
     index_ref = ray.put(TilePolygonIndex(polygon_tiles, z, extent))
 
-    class PipStage:
-        def __init__(self) -> None:
-            self.index: TilePolygonIndex = ray.get(index_ref)
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..datagen.images import mercator_xy
+        index: TilePolygonIndex = _cached_get(index_ref)
+        phash = batch.column("phash").to_numpy()
+        mx, my = mercator_xy(phash)
+        tx, ty = tile_xy(phash, z)
+        ids = batch.column("image_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        z2 = 1 << z
+        tkey = (ty.astype(np.uint64) << np.uint64(32)) | tx.astype(np.uint64)
 
-            phash = batch.column("phash").to_numpy()
-            mx, my = mercator_xy(phash)
-            tx, ty = tile_xy(phash, z)
-            ids = batch.column("image_id").to_pylist()
-            z2 = 1 << z
-            px = mx * z2
-            py = my * z2
-            out_img: list = []
-            out_poly: list = []
-            for j in range(len(ids)):
-                hits = self.index.contains(
-                    int(tx[j]),
-                    int(ty[j]),
-                    (px[j] - tx[j]) * extent,
-                    (py[j] - ty[j]) * extent,
-                )
-                for pid in hits:
-                    out_img.append(ids[j])
-                    out_poly.append(str(pid))
+        order = np.argsort(tkey, kind="stable")
+        sorted_keys = tkey[order]
+        bounds = np.nonzero(np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))[0]
+        bounds = np.append(bounds, len(sorted_keys))
+
+        out_idx: list[np.ndarray] = []
+        out_poly: list[np.ndarray] = []
+        for bi in range(len(bounds) - 1):
+            sl = order[bounds[bi] : bounds[bi + 1]]
+            key = sorted_keys[bounds[bi]]
+            cx = int(key & np.uint64(0xFFFFFFFF))
+            cy = int(key >> np.uint64(32))
+            polys = index.tiles.get((cx, cy))
+            if not polys:
+                continue
+            px = (mx[sl] * z2 - cx) * extent
+            py = (my[sl] * z2 - cy) * extent
+            for pid, rings in polys:
+                inside = np.zeros(len(sl), dtype=bool)
+                for ring in rings:
+                    xs = ring[:, 0][None, :]
+                    ys = ring[:, 1][None, :]
+                    x1 = np.roll(ring[:, 0], -1)[None, :]
+                    y1 = np.roll(ring[:, 1], -1)[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cross = ((ys > py[:, None]) != (y1 > py[:, None])) & (
+                            px[:, None] < (x1 - xs) * (py[:, None] - ys) / (y1 - ys) + xs
+                        )
+                    inside ^= (cross.sum(axis=1) % 2).astype(bool)
+                hit = np.nonzero(inside)[0]
+                if len(hit):
+                    out_idx.append(sl[hit])
+                    out_poly.append(np.full(len(hit), str(pid), dtype=object))
+        if not out_idx:
             return pa.table(
-                {
-                    "image_id": pa.array(out_img, pa.string()),
-                    "poly_id": pa.array(out_poly, pa.string()),
-                }
+                {"image_id": pa.array([], pa.string()), "poly_id": pa.array([], pa.string())}
             )
+        idx = np.concatenate(out_idx)
+        col = ids.take(pa.array(idx))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"image_id": col, "poly_id": pa.array(np.concatenate(out_poly), pa.string())}
+        )
 
-    return points.map_batches(PipStage, batch_format="pyarrow", concurrency=(1, 32))
+    return points.map_batches(stage, batch_format="pyarrow")

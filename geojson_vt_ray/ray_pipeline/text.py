@@ -21,14 +21,66 @@ import re
 from typing import Optional
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
 MERSENNE61 = (1 << 61) - 1
+MERSENNE31 = (1 << 31) - 1
 _WS_RE = re.compile(r"\s+")
+
+# Public 32-bit mixing primes (xxhash32 constants) — shingle hashes combine
+# token hashes with these so the formula is reproducible in plain SQL
+# (HUGEINT arithmetic mod 2^64 == numpy uint64 wraparound).
+SHINGLE_PRIMES = (2654435761, 2246822519, 3266489917, 668265263, 374761393)
+_PRIMES_U64 = np.array(SHINGLE_PRIMES, dtype=np.uint64)
+U64_MOD = 1 << 64
+
+
+def md5_u64(data: bytes) -> int:
+    """Lower 8 bytes of md5, little-endian — identical to DuckDB's
+    ``md5_number_lower`` so every hash-derived operator can carry an exact
+    SQL oracle."""
+    return int.from_bytes(hashlib.md5(data).digest()[8:], "little")
+
+
+class TokenHasher:
+    """Vectorized token→shingle hashing with a per-actor vocabulary cache.
+
+    Token hash = md5_number_lower(token); k-shingle hash = the wraparound
+    (mod 2^64) dot product of the window's token hashes with SHINGLE_PRIMES.
+    Texts shorter than k hash all their tokens as one window. Returns the
+    *distinct* shingle hashes (set semantics, matching `_token_shingles`).
+    """
+
+    def __init__(self, k: int):
+        self.k = k
+        self._cache: dict[str, int] = {}
+
+    def token_hashes(self, toks: list[str]) -> np.ndarray:
+        cache = self._cache
+        out = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            h = cache.get(t)
+            if h is None:
+                h = md5_u64(t.encode())
+                cache[t] = h
+            out[i] = h
+        return out
+
+    def shingles(self, text: str) -> np.ndarray:
+        toks = text.split(" ")
+        th = self.token_hashes(toks)
+        k = self.k
+        n = len(th)
+        if n < k:
+            return np.array([(th * _PRIMES_U64[:n]).sum()], dtype=np.uint64)
+        m = n - k + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc += th[j : j + m] * _PRIMES_U64[j]
+        return np.unique(acc)
 
 
 # ---------------------------------------------------------------- token stats
@@ -143,18 +195,21 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Polynomial rolling hash over the token stream mod 2^61-1 (order
     sensitive — a document permutation changes the fingerprint)."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        fps = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            h = 0
-            for tok in t.split(" "):
-                th = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-                h = (h * 1_000_003 + th) % MERSENNE61
-            fps[i] = h
-        return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)})
+    class Fp:
+        def __init__(self) -> None:
+            self.hasher = TokenHasher(1)
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            texts = batch.column("text").to_pylist()
+            fps = np.empty(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                h = 0
+                for th in self.hasher.token_hashes(t.split(" ")).tolist():
+                    h = (h * 1_000_003 + th) % MERSENNE61
+                fps[i] = h
+            return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)})
+
+    return docs.map_batches(Fp, batch_format="pyarrow", concurrency=(1, 32))
 
 
 # --------------------------------------------------------------- exact dedup
@@ -189,35 +244,49 @@ def _token_shingles(text: str, k: int) -> set[bytes]:
     return {" ".join(toks[i : i + k]).encode() for i in range(len(toks) - k + 1)}
 
 
-MERSENNE31 = (1 << 31) - 1
+def minhash_params(n_perm: int = 64, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """The (a, b) universal-hash constants — deterministic from the seed so
+    every actor AND the SQL oracle reproduce the same permutations."""
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, MERSENNE31, size=n_perm).astype(np.uint64)
+    b = rs.randint(0, MERSENNE31, size=n_perm).astype(np.uint64)
+    return a, b
 
 
 class MinHasher:
-    """Per-batch MinHash signatures (n_perm universal hashes over blake2
-    shingle hashes), banded for LSH.
+    """Whole-batch MinHash signatures: one (n_perm × total_shingles) universal
+    hash matrix + per-doc ``np.minimum.reduceat`` — no per-shingle Python.
 
-    Arithmetic is fully vectorized in uint64: a, b, h < 2^31 so a*h + b never
-    overflows; modulus 2^31-1."""
+    h31 = shingle_hash mod 2^31-1; signature r = min((a*h31 + b) mod 2^31-1);
+    all values < 2^31 so a*h31 + b < 2^62 never overflows uint64."""
 
     def __init__(self, n_perm: int = 64, shingle_k: int = 3, seed: int = 42):
-        rs = np.random.RandomState(seed)  # fixed seed — deterministic across actors
-        self.a = rs.randint(1, MERSENNE31, size=n_perm).astype(np.uint64)
-        self.b = rs.randint(0, MERSENNE31, size=n_perm).astype(np.uint64)
+        self.a, self.b = minhash_params(n_perm, seed)
         self.n_perm = n_perm
-        self.shingle_k = shingle_k
+        self.hasher = TokenHasher(shingle_k)
+
+    def signatures(self, texts: list[str]) -> np.ndarray:
+        """(n_perm, n_docs) signature matrix for a batch of texts."""
+        if not texts:
+            return np.empty((self.n_perm, 0), dtype=np.uint64)
+        sh_list = [self.hasher.shingles(t) for t in texts]
+        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        h31 = np.concatenate(sh_list) % np.uint64(MERSENNE31)
+        m = (self.a[:, None] * h31[None, :] + self.b[:, None]) % np.uint64(MERSENNE31)
+        return np.minimum.reduceat(m, offsets, axis=1)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _token_shingles(text, self.shingle_k)
-        hv = np.array(
-            [
-                int.from_bytes(hashlib.blake2b(s, digest_size=4).digest(), "big") % MERSENNE31
-                for s in sh
-            ],
-            dtype=np.uint64,
-        )
-        # (a*h + b) mod p over the (perm, shingle) matrix, min per permutation
-        m = (self.a[:, None] * hv[None, :] + self.b[:, None]) % np.uint64(MERSENNE31)
-        return m.min(axis=1)
+        return self.signatures([text])[:, 0]
+
+
+def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(bands, n_docs) band hashes: wraparound dot product of each band's rows
+    with SHINGLE_PRIMES, halved into the positive int64 range."""
+    n_perm, n_docs = sig.shape
+    rpb = n_perm // bands
+    v = sig.reshape(bands, rpb, n_docs) * _PRIMES_U64[:rpb][None, :, None]
+    return (v.sum(axis=1) >> np.uint64(1)).astype(np.int64)
 
 
 def minhash_band_rows(
@@ -225,32 +294,20 @@ def minhash_band_rows(
 ) -> "ray.data.Dataset":
     """doc → (band, band_hash, doc_id) rows; equal band_hash within a band ⇒
     LSH candidate bucket."""
-    rows_per_band = n_perm // bands
 
     class BandStage:
         def __init__(self) -> None:
             self.mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids = batch.column("doc_id").to_pylist()
-            out_band: list[int] = []
-            out_hash: list[int] = []
-            out_doc: list[int] = []
-            for did, text in zip(doc_ids, batch.column("text").to_pylist()):
-                sig = self.mh.signature(text)
-                for b in range(bands):
-                    chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                    bh = int.from_bytes(
-                        hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "big"
-                    ) >> 1
-                    out_band.append(b)
-                    out_hash.append(bh)
-                    out_doc.append(did)
+            doc_ids = batch.column("doc_id").to_numpy()
+            bh = band_hashes(self.mh.signatures(batch.column("text").to_pylist()), bands)
+            n_docs = len(doc_ids)
             return pa.table(
                 {
-                    "band": pa.array(out_band, pa.int32()),
-                    "band_hash": pa.array(out_hash, pa.int64()),
-                    "doc_id": pa.array(out_doc, pa.int64()),
+                    "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n_docs)),
+                    "band_hash": pa.array(bh.reshape(-1)),
+                    "doc_id": pa.array(np.tile(doc_ids, bands)),
                 }
             )
 
@@ -264,16 +321,18 @@ def minhash_candidate_pairs(
     deduplicated across bands."""
     band_rows = minhash_band_rows(docs, n_perm, bands, shingle_k)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].tolist())
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        if not pairs:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64")})
-        return pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        ids = np.sort(g.column("doc_id").to_numpy())
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia], pa.int64()),
+                "doc_b": pa.array(ids[ib], pa.int64()),
+            }
+        )
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+        bucket_pairs, batch_format="pyarrow"
     )
     # dedup identical pairs found in multiple bands
     from ray.data.aggregate import Count
@@ -318,71 +377,109 @@ def verify_jaccard(
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset", threshold: float = 0.5, shingle_k: int = 3
 ) -> "ray.data.Dataset":
-    """Exact all-pairs n-gram Jaccard near-dup detection.
+    """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index —
+    no driver materialization, no all-pairs scan.
 
-    Each batch compares its docs against the broadcast full shingle-set
-    table (hashes only — texts never ship); emits (doc_a < doc_b, jaccard)
-    above the threshold. Quadratic — the LSH path (`minhash_candidate_pairs`)
-    is the scale variant; this is the exactness baseline it is verified
-    against.
+    1. per-doc distinct shingle hashes → (shingle, doc_id, set_size) rows;
+    2. ``groupby(shingle)`` emits candidate pairs per posting list (any pair
+       with Jaccard > 0 shares ≥1 shingle, so this generation is exhaustive);
+       a size-ratio prune (J ≤ min/max of the set sizes) drops hopeless pairs
+       before they shuffle;
+    3. ``groupby(doc_a, doc_b)`` counts shared shingles c; since every shared
+       shingle contributes exactly one bucket, J = c / (|A|+|B|-c) exactly.
+
+    Scale note: step-2 volume is Σ |posting|² — text never ships and the hot
+    (stopword-shingle) posting lists are the skew bound; cap them with an
+    (approximate) document-frequency cutoff upstream if a corpus needs it.
     """
-    import ray as _ray
 
-    def shingle_stage(batch: pa.Table) -> pa.Table:
-        rows = []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            hs = sorted(
-                int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big") >> 1
-                for s in _token_shingles(text, shingle_k)
+    class ShingleStage:
+        def __init__(self) -> None:
+            self.hasher = TokenHasher(shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc_ids = batch.column("doc_id").to_numpy()
+            sh_list = [self.hasher.shingles(t) for t in batch.column("text").to_pylist()]
+            lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+            allsh = (
+                np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
             )
-            rows.append({"doc_id": did, "shingles": hs})
-        return pa.Table.from_pylist(
-            rows,
-            schema=pa.schema([("doc_id", pa.int64()), ("shingles", pa.list_(pa.int64()))]),
-        )
+            return pa.table(
+                {
+                    # >>1 keeps the shuffle key in the positive int64 range
+                    "shingle": pa.array((allsh >> np.uint64(1)).astype(np.int64)),
+                    "doc_id": pa.array(np.repeat(doc_ids, lens)),
+                    "set_size": pa.array(np.repeat(lens, lens)),
+                }
+            )
 
-    shingled = docs.map_batches(shingle_stage, batch_format="pyarrow")
-    all_sets = {
-        r["doc_id"]: frozenset(r["shingles"]) for r in shingled.iter_rows()
-    }
-    sets_ref = _ray.put(all_sets)
+    postings = docs.map_batches(ShingleStage, batch_format="pyarrow", concurrency=(1, 32))
 
-    def pair_stage(batch: pa.Table) -> pa.Table:
-        sets = _ray.get(sets_ref)
-        out_a: list[int] = []
-        out_b: list[int] = []
-        out_j: list[float] = []
-        for did in batch.column("doc_id").to_pylist():
-            sa = sets[did]
-            for other, sb in sets.items():
-                if other <= did:
-                    continue
-                inter = len(sa & sb)
-                if inter == 0:
-                    continue
-                j = inter / (len(sa) + len(sb) - inter)
-                if j >= threshold:
-                    out_a.append(did)
-                    out_b.append(other)
-                    out_j.append(j)
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        sizes = group.column("set_size").to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        sizes = sizes[order]
+        n = len(ids)
+        ia, ib = np.triu_indices(n, k=1)
+        sa = sizes[ia]
+        sb = sizes[ib]
+        # J <= min(|A|,|B|)/max(|A|,|B|): prune pairs that cannot reach t
+        # (epsilon-loosened — survivors are re-checked exactly in finalize)
+        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
         return pa.table(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "doc_a": pa.array(ids[ia][keep]),
+                "doc_b": pa.array(ids[ib][keep]),
+                "size_a": pa.array(sa[keep]),
+                "size_b": pa.array(sb[keep]),
             }
         )
 
-    return shingled.map_batches(pair_stage, batch_format="pyarrow")
+    pair_counts = (
+        postings.groupby("shingle")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(
+            lambda g: pa.table(
+                {
+                    "doc_a": g.column("doc_a").slice(0, 1),
+                    "doc_b": g.column("doc_b").slice(0, 1),
+                    "size_a": g.column("size_a").slice(0, 1),
+                    "size_b": g.column("size_b").slice(0, 1),
+                    "c": pa.array([g.num_rows], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy()
+        sa = batch.column("size_a").to_numpy()
+        sb = batch.column("size_b").to_numpy()
+        j = c / (sa + sb - c)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
+                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(finalize, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- BPE-ish tokenization
 
-_BPE_RE = re.compile(
-    r"[A-Za-z]+|[0-9]{1,3}|[^\sA-Za-z0-9]+|\s+"
-)
+# explicit whitespace class (identical in Python re and RE2, so the DuckDB
+# regexp_extract_all oracle tokenizes byte-for-byte the same way)
+_BPE_WS = " \t\n\r\f"
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^ \t\n\r\fA-Za-z0-9]+|[ \t\n\r\f]+"
+_BPE_RE = re.compile(_BPE_PATTERN)
+_ASCII_ALPHA = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
 
 def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -395,8 +492,8 @@ def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         n_word = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = _BPE_RE.findall(t)
-            n_tokens[i] = sum(1 for tk in toks if not tk.isspace())
-            n_word[i] = sum(1 for tk in toks if tk[:1].isalpha())
+            n_tokens[i] = sum(1 for tk in toks if tk[0] not in _BPE_WS)
+            n_word[i] = sum(1 for tk in toks if tk[0] in _ASCII_ALPHA)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -411,18 +508,32 @@ def bpe_token_counts(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 # ------------------------------------------------------------------- SimHash
 
 def simhash_signatures(docs: "ray.data.Dataset", shingle_k: int = 2) -> "ray.data.Dataset":
-    """64-bit SimHash per document over token shingles."""
+    """64-bit SimHash per document over distinct token shingles.
 
-    def fn(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id")
-        sigs = np.empty(batch.num_rows, dtype=np.uint64)
-        for i, text in enumerate(batch.column("text").to_pylist()):
-            acc = np.zeros(64, dtype=np.int64)
-            for s in _token_shingles(text, shingle_k):
-                h = int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "big")
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            sigs[i] = np.packbits((acc >= 0).astype(np.uint8), bitorder="little").view(np.uint64)[0]
-        return pa.table({"doc_id": doc_ids, "simhash": pa.array(sigs.astype(np.int64))})
+    Vectorized over the whole batch: one (total_shingles × 64) bit matrix,
+    per-doc ±1 sums via ``np.add.reduceat``; a bit is set when its per-doc
+    accumulator is ≥ 0. Output is the signed-int64 reinterpretation."""
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+    class Stage:
+        def __init__(self) -> None:
+            self.hasher = TokenHasher(shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"doc_id": batch.column("doc_id"), "simhash": pa.array([], pa.int64())}
+                )
+            sh_list = [self.hasher.shingles(t) for t in batch.column("text").to_pylist()]
+            lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            allsh = np.concatenate(sh_list)
+            bits = ((allsh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            acc = np.add.reduceat(2 * bits - 1, offsets, axis=0)  # (n_docs, 64) ±1 sums
+            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+            sigs = ((acc >= 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "simhash": pa.array(sigs.astype(np.int64))}
+            )
+
+    return docs.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 32))
