@@ -58,6 +58,7 @@ FEATURE_FIELDS = [
     ("num_points", pa.int64()),
     ("num_simplified", pa.int64()),
     ("num_features", pa.int64()),
+    ("est", pa.float64()),  # marker rows: estimated leaf-tile drill cost
 ]
 
 LEVEL_SCHEMA = pa.schema(FEATURE_FIELDS)
@@ -140,9 +141,11 @@ class LevelRowBuilder:
         c["num_points"].append(0)
         c["num_simplified"].append(0)
         c["num_features"].append(0)
+        c["est"].append(0.0)
 
-    def add_marker(self, z: int, x: int, y: int) -> None:
+    def add_marker(self, z: int, x: int, y: int, est: float = 0.0) -> None:
         self._add_stub(KIND_MARKER, z, x, y)
+        self.cols["est"][-1] = est
 
     def add_tile(
         self,
@@ -210,6 +213,7 @@ class LevelRowBuilder:
         c["num_points"].append(0)
         c["num_simplified"].append(0)
         c["num_features"].append(0)
+        c["est"].append(0.0)
 
     def table(self) -> pa.Table:
         arrays = [pa.array(self.cols[name], type=typ) for name, typ in FEATURE_FIELDS]

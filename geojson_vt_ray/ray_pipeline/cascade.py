@@ -28,6 +28,7 @@ from __future__ import annotations
 import json
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -108,21 +109,86 @@ class CascadeLevel:
         return built
 
     def _emit_partial(self, out: LevelRowBuilder, shard: list, z: int, x: int, y: int) -> None:
+        _emit_partial(out, shard, z, x, y, self.options)
+
+
+def _emit_partial(
+    out: LevelRowBuilder, shard: list, z: int, x: int, y: int, options: TilerOptions
+) -> None:
+    """Mergeable per-batch tile shard: per-feature create_tile keeps the seqs
+    list parallel to the emitted features so the final merge can restore
+    reference feature order across batches."""
+    seqs: list[bytes] = []
+    tfeatures: list[dict] = []
+    num_points = num_simplified = 0
+    for seq, f in shard:
+        t = create_tile([f], z, x, y, options)
+        num_points += t["numPoints"]
+        num_simplified += t["numSimplified"]
+        if t["features"]:
+            tf = transform_tile_features(t, options.extent)
+            seqs.append(seq)
+            tfeatures.append(tf[0])
+    out.add_partial_tile(
+        z, x, y, seqs, json.dumps(tfeatures), num_points, num_simplified, len(shard)
+    )
+
+
+class CascadeToHandoff:
+    """Whole cascade z0..z_handoff in ONE map stage: per input batch, a
+    breadth-first in-memory drill to the hand-off zoom. Emits the same row
+    mix the per-level cascade produced — mergeable partial-tile rows for
+    every shallow tile the batch touches, plus feature rows (and existence
+    markers carrying a leaf-cost estimate) at the hand-off zoom — but skips
+    the per-level Arrow encode/decode round-trips and the 6 extra operators.
+
+    Shallow-tile assembly stays the salted-partial-merge design: each batch
+    contributes one mergeable partial per tile; only partials shuffle.
+    """
+
+    def __init__(self, options: TilerOptions, z_handoff: int):
+        self.options = options
+        self.z_handoff = z_handoff
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         options = self.options
-        seqs: list[bytes] = []
-        tfeatures: list[dict] = []
-        num_points = num_simplified = 0
-        for seq, f in shard:
-            t = create_tile([f], z, x, y, options)
-            num_points += t["numPoints"]
-            num_simplified += t["numSimplified"]
-            if t["features"]:
-                tf = transform_tile_features(t, options.extent)
-                seqs.append(seq)
-                tfeatures.append(tf[0])
-        out.add_partial_tile(
-            z, x, y, seqs, json.dumps(tfeatures), num_points, num_simplified, len(shard)
-        )
+        zh = self.z_handoff
+        out = LevelRowBuilder()
+        features = decode_features(batch)
+
+        level: dict[tuple[int, int], list] = {}
+        xs = batch.column("x").to_pylist()
+        ys = batch.column("y").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        fi = 0
+        for i in range(batch.num_rows):
+            if kinds[i] != KIND_FEATURE:
+                continue
+            level.setdefault((xs[i], ys[i]), []).append(features[fi])
+            fi += 1
+
+        for z in range(zh):
+            nxt: dict[tuple[int, int], list] = {}
+            for (x, y), shard in level.items():
+                _emit_partial(out, shard, z, x, y, options)
+                if z < options.max_zoom and shard:
+                    bbox = {
+                        "minX": min(f["minX"] for _, f in shard),
+                        "maxX": max(f["maxX"] for _, f in shard),
+                        "minY": min(f["minY"] for _, f in shard),
+                        "maxY": max(f["maxY"] for _, f in shard),
+                    }
+                    for cx, cy, child in _clip_children(shard, z, x, y, options, bbox):
+                        # empty children still create the key → existence tile
+                        nxt.setdefault((cx, cy), []).extend(child)
+            level = nxt
+
+        for (x, y), shard in level.items():
+            est = sum(_est_leaf_tiles(shard, zh, x, y, options.max_zoom)) if shard else 0.0
+            out.add_marker(zh, x, y, est=est)
+            for seq, f in shard:
+                out.add_feature(zh, x, y, seq, f)
+        return out.table()
 
 
 def _merge_partials(group: pa.Table) -> pa.Table:
@@ -297,6 +363,33 @@ class TileRowBuilder:
         self.num_points.append(tile["numPoints"])
         self.num_simplified.append(tile["numSimplified"])
         self.num_features.append(tile["numFeatures"])
+        self.min_seq.append(min_seq)
+        self.max_seq.append(max_seq)
+        self.payload.append(b"")
+
+    def add_merged(
+        self,
+        z: int,
+        x: int,
+        y: int,
+        features_json: str,
+        num_points: int,
+        num_simplified: int,
+        num_features: int,
+        min_seq: bytes,
+        max_seq: bytes,
+    ) -> None:
+        from ..arrowio.codec import tile_key
+
+        self.kind.append(KIND_TILE)
+        self.tkey.append(tile_key(z, x, y))
+        self.z.append(z)
+        self.x.append(x)
+        self.y.append(y)
+        self.features_json.append(features_json)
+        self.num_points.append(num_points)
+        self.num_simplified.append(num_simplified)
+        self.num_features.append(num_features)
         self.min_seq.append(min_seq)
         self.max_seq.append(max_seq)
         self.payload.append(b"")
@@ -476,6 +569,82 @@ class DrillOrSplit:
         return out.table()
 
 
+class UnifiedDrillOrMerge:
+    """ONE group function for the single shuffle of the fast pyramid.
+
+    A group is one drill BIN — a cost-balanced set of tiles (see
+    `assign_bins_lpt`). Each tile within is either a set of shallow-tile
+    partial rows (merge-sort by seq, sum counters) or a hand-off tile's
+    feature/marker rows (assemble the tile, then drill its whole subtree
+    locally, deferring chunk rows for estimated-heavy child subtrees when a
+    chunk threshold is set). Both paths emit the narrow tile-row schema.
+    """
+
+    def __init__(self, z: int, options: TilerOptions, chunk_threshold: Optional[float]):
+        self.z = z
+        self.options = options
+        self.chunk_threshold = chunk_threshold
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = TileRowBuilder()
+        group = group.take(pc.sort_indices(group.column("tkey")))
+        tkeys = group.column("tkey").to_numpy()
+        bounds = np.nonzero(np.concatenate(([True], tkeys[1:] != tkeys[:-1])))[0]
+        bounds = np.append(bounds, len(tkeys))
+        for bi in range(len(bounds) - 1):
+            tile_rows = group.slice(bounds[bi], bounds[bi + 1] - bounds[bi])
+            if tile_rows.column("kind")[0].as_py() == KIND_TILE_PARTIAL:
+                self._merge(out, tile_rows)
+            else:
+                self._drill(out, tile_rows)
+        return out.table()
+
+    def _drill(self, out: "TileRowBuilder", group: pa.Table) -> None:
+        options = self.options
+        z = self.z
+        x = group.column("x")[0].as_py()
+        y = group.column("y")[0].as_py()
+        features = decode_features(group)
+        features.sort(key=lambda p: p[0])
+
+        tile = create_tile([f for _, f in features], z, x, y, options)
+        out.add_tile(
+            tile,
+            json.dumps(transform_tile_features(tile, options.extent)),
+            features[0][0] if features else b"",
+            features[-1][0] if features else b"",
+        )
+        if z < options.max_zoom and features:
+            _drill_subtree(
+                out, features, z, x, y, tile, options, chunk_threshold=self.chunk_threshold
+            )
+
+    @staticmethod
+    def _merge(out: TileRowBuilder, group: pa.Table) -> None:
+        z = group.column("z")[0].as_py()
+        x = group.column("x")[0].as_py()
+        y = group.column("y")[0].as_py()
+        np_ = int(pa.compute.sum(group.column("num_points")).as_py() or 0)
+        ns = int(pa.compute.sum(group.column("num_simplified")).as_py() or 0)
+        nf = int(pa.compute.sum(group.column("num_features")).as_py() or 0)
+        pairs: list[tuple[bytes, dict]] = []
+        for seqs, fj in zip(
+            group.column("seqs").to_pylist(), group.column("features_json").to_pylist()
+        ):
+            if seqs:
+                pairs.extend(zip(seqs, json.loads(fj)))
+        pairs.sort(key=lambda p: p[0])
+        out.add_merged(
+            z, x, y,
+            json.dumps([f for _, f in pairs]),
+            np_, ns, nf,
+            pairs[0][0] if pairs else b"",
+            pairs[-1][0] if pairs else b"",
+        )
+
+
 class ChunkDrill:
     """Parallel drill of deferred heavy subtrees. Each chunk's tile row was
     already emitted by its parent task; this stage drills the descendants,
@@ -538,112 +707,211 @@ def _merge_chunk_fragments(group: pa.Table) -> pa.Table:
     )
 
 
+def _kind_filter(kinds: tuple, invert: bool = False, scatter: bool = False):
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("kind"), value_set=pa.array(kinds, pa.int8()))
+        out = batch.filter(pc.invert(mask) if invert else mask)
+        if scatter:
+            out = _with_skey(out)
+        return out
+
+    return fn
+
+
+def _with_skey(out: pa.Table) -> pa.Table:
+    """Bijective key hash: groupby sorts by key, and raw tile keys are
+    spatially contiguous — dense regions would range-partition into the same
+    reduce task. Scatter, keeping group identity."""
+    import numpy as np
+
+    tk = out.column("tkey").to_numpy().astype(np.uint64)
+    mixed = (tk * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 63) - 1)
+    return out.append_column("skey", pa.array(mixed.astype(np.int64)))
+
+
+def assign_bins_lpt(tkeys: np.ndarray, ests: np.ndarray, n_bins: int) -> dict[int, int]:
+    """Longest-processing-time bin packing of hand-off tiles into drill bins.
+
+    The cascade's per-tile leaf-cost estimates make the single drill shuffle
+    explicitly load-balanced instead of hash-scattered: heaviest tile first
+    into the least-loaded bin, so the makespan is ~max(total/n_bins,
+    heaviest tile). Driver-side on ≤4^z_handoff keys — O(T log T) on a tiny
+    table at any data scale."""
+    import heapq
+
+    order = np.argsort(-ests, kind="stable")
+    heap = [(0.0, b) for b in range(n_bins)]
+    out: dict[int, int] = {}
+    for i in order:
+        load, b = heapq.heappop(heap)
+        out[int(tkeys[i])] = b
+        heapq.heappush(heap, (load + float(ests[i]) + 1.0, b))
+    return out
+
+
+def auto_chunk_threshold(
+    per_tile_est: "np.typing.ArrayLike", num_cpus: float
+) -> Optional[float]:
+    """Default-on monster-subtree policy: chunk only when one hand-off tile's
+    estimated leaf-tile cost dominates a per-core share of the total work
+    (a world-covering polygon), so ordinary skew keeps the fully streaming
+    single-pass path. Threshold sizes chunks to ~1/(4·cores) of the total."""
+    import numpy as np
+
+    est = np.asarray(per_tile_est, dtype=np.float64)
+    if len(est) == 0:
+        return None
+    total = float(est.sum())
+    heaviest = float(est.max())
+    if heaviest <= max(4.0 * total / max(num_cpus, 1.0), float(1 << 18)):
+        return None
+    return max(total / (4.0 * max(num_cpus, 1.0)), float(1 << 16))
+
+
 def build_pyramid_fast(
     ds: "ray.data.Dataset",
     options: TilerOptions,
-    z_handoff: int = 6,
+    z_handoff: int = 7,
     heavy_threshold: Optional[int] = None,
     batch_size: int = 1024,
-    drill_partitions: int = 64,
-    chunk_threshold: Optional[float] = None,
+    drill_partitions: "int | str" = "auto",
+    chunk_threshold: "Optional[float] | str" = "auto",
 ) -> "ray.data.Dataset":
-    """Production pyramid: shuffle-free cascade to ``z_handoff`` (shallow
-    tiles assembled as mergeable partials), ONE groupby at the hand-off to
-    co-locate each tile, then per-tile local subtree drill. Heavy tiles
-    (num_points > heavy_threshold) re-split for additional bounded passes.
+    """Production pyramid: ONE cascade map stage to ``z_handoff`` (shallow
+    tiles assembled as mergeable partials), ONE cost-balanced groupby that
+    both merges the shallow partials and drills every hand-off subtree
+    locally. Shuffle budget: exactly one sort over the (small) cascade
+    output; the (huge) tile stream never shuffles.
 
-    Shuffle budget: 1 feature groupby at z_handoff (+ a few for heavy
-    remainders) + a tiny partial merge over the < 4^z_handoff shallow tiles.
+    The cascade emits per-tile leaf-cost estimates on its marker rows; a
+    tiny driver-side aggregate over the already-materialized cascade output
+    feeds (a) LPT bin packing of hand-off tiles into ``drill_partitions``
+    bins (``"auto"`` = 4× cluster CPUs) so the drill's makespan is bounded
+    by the heaviest BIN, not a hash-collision of heavy tiles, and (b) the
+    default-on monster-subtree chunking decision (`auto_chunk_threshold`;
+    pass None to force streaming, a float to force chunking).
     """
     import pyarrow.compute as pc
 
+    import ray as _ray
+
     options = options.validate()
     z_handoff = min(z_handoff, options.max_zoom)
+    ncpu = float(_ray.cluster_resources().get("CPU", 8))
+    n_bins = max(4 * int(ncpu), 16) if drill_partitions == "auto" else int(drill_partitions)
 
-    cur = ds.map_batches(ConvertWrap(options), batch_format="pyarrow")
-    for z in range(z_handoff):
-        cur = cur.map_batches(
-            CascadeLevel(z, options, markers_for_children=(z == z_handoff - 1)),
+    cur = (
+        ds.map_batches(ConvertWrap(options), batch_format="pyarrow")
+        .map_batches(
+            CascadeToHandoff(options, z_handoff),
             batch_format="pyarrow",
             batch_size=batch_size,
-            num_cpus=1 + (z % 2) * 1e-4,
         )
-    cur = cur.materialize()
+        .materialize()  # cascade output is small (partials + hand-off frontier)
+    )
 
-    def _kind_filter(kinds: tuple, invert: bool = False, scatter: bool = False):
-        def fn(batch: pa.Table) -> pa.Table:
-            mask = pc.is_in(batch.column("kind"), value_set=pa.array(kinds, pa.int8()))
-            out = batch.filter(pc.invert(mask) if invert else mask)
-            if scatter:
-                # bijective key hash: groupby sorts by key, and raw tile keys
-                # are spatially contiguous — dense regions would range-partition
-                # into the same reduce task. Scatter, keeping group identity.
-                import numpy as np
+    if heavy_threshold is not None:
+        return _build_pyramid_heavy_loop(
+            cur, options, z_handoff, heavy_threshold, n_bins
+        )
 
-                tk = out.column("tkey").to_numpy().astype(np.uint64)
-                mixed = (tk * np.uint64(0x9E3779B97F4A7C15)) & np.uint64((1 << 63) - 1)
-                out = out.append_column("skey", pa.array(mixed.astype(np.int64)))
-            return out
+    marker_est = cur.map_batches(
+        lambda b: b.filter(pc.equal(b.column("kind"), KIND_MARKER)).select(
+            ["tkey", "est"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    per_tile = marker_est.groupby("tkey")["est"].sum()
+    if chunk_threshold == "auto":
+        chunk_threshold = auto_chunk_threshold(per_tile.to_numpy(), ncpu)
+    bin_map = assign_bins_lpt(per_tile.index.to_numpy(), per_tile.to_numpy(), n_bins)
+    bin_ref = _ray.put(bin_map)
 
-        return fn
+    def add_bin(batch: pa.Table) -> pa.Table:
+        bm: dict[int, int] = _ray.get(bin_ref)
+        tk = batch.column("tkey").to_numpy()
+        # shallow partial tiles (not in the map) hash into bins — their merge
+        # work is negligible next to the hand-off drills
+        skey = np.fromiter(
+            (
+                bm.get(int(t), int((int(t) * 0x9E3779B97F4A7C15) % (1 << 62)) % n_bins)
+                for t in tk
+            ),
+            dtype=np.int64,
+            count=len(tk),
+        )
+        return batch.append_column("skey", pa.array(skey))
 
-    partials = cur.map_batches(_kind_filter((KIND_TILE_PARTIAL,)), batch_format="pyarrow")
-    shallow_tiles = partials.groupby("tkey").map_groups(_merge_partials, batch_format="pyarrow")
+    unified = UnifiedDrillOrMerge(z_handoff, options, chunk_threshold)
 
+    def run_group(group: pa.Table, _u=unified) -> pa.Table:
+        return _u(group)
+
+    # pre-shuffle block fan-out: Ray's sort-based map_groups parallelism
+    # follows input block count — the small-byte cascade output would
+    # otherwise collapse into one reduce task and serialize the whole drill.
+    # Exactly n_bins: the sort shuffle materializes O(blocks × ranges) tiny
+    # object-store slices, so over-partitioning a small frontier (e.g.
+    # 4×n_bins=512 on a 553-row table) costs ~65 s of pure shuffle latency
+    # before the first drill task starts; measured sweet spot is blocks ==
+    # n_bins (18.6 s vs 81.8 s wall on the ×1 us-states pyramid).
+    level_out = (
+        cur.map_batches(add_bin, batch_format="pyarrow")
+        .repartition(n_bins)
+        .groupby("skey")
+        .map_groups(run_group, batch_format="pyarrow")
+    )
+    if chunk_threshold is None:
+        # fully streaming: drill output flows straight to the consumer
+        return level_out.select_columns(TILE_COLUMNS)
+
+    # chunked mode: monstrous subtrees are deferred as chunk rows and
+    # drilled in additional map rounds (disjoint subtrees → complete
+    # tiles, no merge). Costs one materialize per round; rounds ≈
+    # log4(monster/threshold).
+    level_out = level_out.materialize()
+    tiles = level_out.map_batches(
+        _kind_filter((KIND_TILE,)), batch_format="pyarrow"
+    ).select_columns(TILE_COLUMNS)
+    chunks = level_out.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
+    while chunks.count() > 0:
+        nxt = (
+            chunks.repartition(n_bins)
+            .map_batches(
+                ChunkDrill(options, chunk_threshold),
+                batch_format="pyarrow",
+                batch_size=1,
+            )
+            .materialize()
+        )
+        tiles = tiles.union(
+            nxt.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
+            .select_columns(TILE_COLUMNS)
+        )
+        chunks = nxt.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
+    return tiles
+
+
+def _build_pyramid_heavy_loop(
+    cur: "ray.data.Dataset",
+    options: TilerOptions,
+    z_handoff: int,
+    heavy_threshold: int,
+    drill_partitions: int,
+) -> "ray.data.Dataset":
+    """Legacy multi-pass mode: heavy hand-off tiles (num_points >
+    heavy_threshold) re-split into child feature rows for another bounded
+    groupby pass instead of drilling locally."""
+    shallow_tiles = (
+        cur.map_batches(_kind_filter((KIND_TILE_PARTIAL,)), batch_format="pyarrow")
+        .groupby("tkey")
+        .map_groups(_merge_partials, batch_format="pyarrow")
+    )
     frontier = cur.map_batches(
         _kind_filter((KIND_FEATURE, KIND_MARKER), scatter=True), batch_format="pyarrow"
     )
-
-    if heavy_threshold is None:
-        # single-pass: drill every hand-off tile's subtree in one stage;
-        # heavy tiles emit bounded feature-chunks that drill in a parallel
-        # map stage and merge per tile (straggler control)
-        splitter = DrillOrSplit(
-            z_handoff, options, 1 << 62, narrow=True, chunk_threshold=chunk_threshold
-        )
-
-        def run_single(group: pa.Table, _s=splitter) -> pa.Table:
-            return _s(group)
-
-        level_out = (
-            frontier.repartition(drill_partitions)
-            .groupby("skey")
-            .map_groups(run_single, batch_format="pyarrow")
-        )
-        if chunk_threshold is None:
-            # fully streaming: drill output flows straight to the consumer
-            complete = (
-                level_out.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
-                .select_columns(TILE_COLUMNS)
-            )
-            return shallow_tiles.union(complete)
-
-        # chunked mode: monstrous subtrees are deferred as chunk rows and
-        # drilled in additional map rounds (disjoint subtrees → complete
-        # tiles, no merge). Costs one materialize per round; rounds ≈
-        # log4(monster/threshold).
-        level_out = level_out.materialize()
-        tiles = shallow_tiles.union(
-            level_out.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
-            .select_columns(TILE_COLUMNS)
-        )
-        chunks = level_out.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
-        while chunks.count() > 0:
-            nxt = (
-                chunks.repartition(drill_partitions)
-                .map_batches(
-                    ChunkDrill(options, chunk_threshold),
-                    batch_format="pyarrow",
-                    batch_size=1,
-                )
-                .materialize()
-            )
-            tiles = tiles.union(
-                nxt.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
-                .select_columns(TILE_COLUMNS)
-            )
-            chunks = nxt.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
-        return tiles
 
     tiles = shallow_tiles
     z = z_handoff
@@ -653,9 +921,6 @@ def build_pyramid_fast(
         def run(group: pa.Table, _s=splitter) -> pa.Table:
             return _s(group)
 
-        # pre-shuffle block fan-out: Ray's sort-based map_groups parallelism
-        # follows input block count — a small-byte frontier would otherwise
-        # collapse into one reduce task and serialize the whole drill
         level_out = (
             frontier.repartition(drill_partitions)
             .groupby("skey")
