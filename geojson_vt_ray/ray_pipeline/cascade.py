@@ -191,6 +191,66 @@ class CascadeToHandoff:
         return out.table()
 
 
+class DeepenHeavy:
+    """Push a heavy hand-off tile's frontier one level deeper.
+
+    LPT binning can balance bins but not split an atomic tile — one dense
+    hand-off subtree bounds the drill makespan no matter how many CPUs run.
+    This map stage (no shuffle; runs on the small cascade output) converts a
+    heavy tile into (a) a mergeable partial-tile row per batch — the parent
+    tile assembles exactly like the shallow cascade tiles — and (b) child
+    feature rows + cost markers at z+1, so the drill's atomic unit shrinks
+    4× per pass. The driver re-reads the markers and repeats while any tile
+    exceeds the atom limit.
+    """
+
+    def __init__(self, options: TilerOptions, heavy_ref):
+        self.options = options
+        self.heavy_ref = heavy_ref  # ray.ObjectRef of frozenset[int] tkeys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        heavy: frozenset = _ray.get(self.heavy_ref)
+        options = self.options
+        tk = batch.column("tkey").to_numpy()
+        kinds = batch.column("kind").to_numpy()
+        hot = np.isin(tk, np.fromiter(heavy, dtype=np.int64, count=len(heavy))) & (
+            (kinds == KIND_FEATURE) | (kinds == KIND_MARKER)
+        )
+        if not hot.any():
+            return batch
+        keep = batch.filter(pa.array(~hot))
+        work = batch.filter(pa.array(hot))
+
+        feat_rows = work.filter(pa.compute.equal(work.column("kind"), KIND_FEATURE))
+        features = decode_features(feat_rows)
+        xs = feat_rows.column("x").to_pylist()
+        ys = feat_rows.column("y").to_pylist()
+        zs = feat_rows.column("z").to_pylist()
+        shards: dict[tuple[int, int, int], list] = {}
+        for i, f in enumerate(features):
+            shards.setdefault((zs[i], xs[i], ys[i]), []).append(f)
+        # marker-only heavy tiles (no features in this batch) contribute
+        # nothing: the tile's partial/children come from the batches that
+        # hold its features, and empty-child existence markers come with them
+        out = LevelRowBuilder()
+        for (z, x, y), shard in shards.items():
+            _emit_partial(out, shard, z, x, y, options)
+            bbox = {
+                "minX": min(f["minX"] for _, f in shard),
+                "maxX": max(f["maxX"] for _, f in shard),
+                "minY": min(f["minY"] for _, f in shard),
+                "maxY": max(f["maxY"] for _, f in shard),
+            }
+            for cx, cy, child in _clip_children(shard, z, x, y, options, bbox):
+                est = sum(_est_leaf_tiles(child, z + 1, cx, cy, options.max_zoom)) if child else 0.0
+                out.add_marker(z + 1, cx, cy, est=est)
+                for seq, f in child:
+                    out.add_feature(z + 1, cx, cy, seq, f)
+        return pa.concat_tables([keep, out.table()])
+
+
 def _merge_partials(group: pa.Table) -> pa.Table:
     z = group.column("z")[0].as_py()
     x = group.column("x")[0].as_py()
@@ -603,7 +663,8 @@ class UnifiedDrillOrMerge:
 
     def _drill(self, out: "TileRowBuilder", group: pa.Table) -> None:
         options = self.options
-        z = self.z
+        # per-row zoom, not self.z: heavy tiles deepen below the hand-off
+        z = group.column("z")[0].as_py()
         x = group.column("x")[0].as_py()
         y = group.column("y")[0].as_py()
         features = decode_features(group)
@@ -778,6 +839,7 @@ def build_pyramid_fast(
     batch_size: int = 1024,
     drill_partitions: "int | str" = "auto",
     chunk_threshold: "Optional[float] | str" = "auto",
+    deepen: bool = True,
 ) -> "ray.data.Dataset":
     """Production pyramid: ONE cascade map stage to ``z_handoff`` (shallow
     tiles assembled as mergeable partials), ONE cost-balanced groupby that
@@ -817,13 +879,39 @@ def build_pyramid_fast(
             cur, options, z_handoff, heavy_threshold, n_bins
         )
 
-    marker_est = cur.map_batches(
-        lambda b: b.filter(pc.equal(b.column("kind"), KIND_MARKER)).select(
-            ["tkey", "est"]
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
-    per_tile = marker_est.groupby("tkey")["est"].sum()
+    def _collect_est(ds_):
+        t = ds_.map_batches(
+            lambda b: b.filter(pc.equal(b.column("kind"), KIND_MARKER)).select(
+                ["tkey", "est"]
+            ),
+            batch_format="pyarrow",
+        ).to_pandas()
+        return t.groupby("tkey")["est"].sum()
+
+    per_tile = _collect_est(cur)
+
+    # variable-depth hand-off: while one tile's estimated subtree cost
+    # dominates a bin-sized share of the work, push its frontier a level
+    # deeper (its own tile row assembles from mergeable partials, like the
+    # shallow cascade tiles). LPT can balance bins but not split an atomic
+    # tile; this bounds the drill makespan by the ATOM limit instead of the
+    # densest subtree. Each pass is a shuffle-free map over the small
+    # cascade output.
+    if deepen:
+        total = float(per_tile.sum())
+        atom_limit = max(total / (2.0 * n_bins), 4096.0)
+        for _ in range(4):
+            heavy = frozenset(
+                int(k) for k in per_tile.index[per_tile.to_numpy() > atom_limit]
+            )
+            if not heavy:
+                break
+            heavy_ref = _ray.put(heavy)
+            cur = cur.map_batches(
+                DeepenHeavy(options, heavy_ref), batch_format="pyarrow"
+            ).materialize()
+            per_tile = _collect_est(cur)
+
     if chunk_threshold == "auto":
         chunk_threshold = auto_chunk_threshold(per_tile.to_numpy(), ncpu)
     bin_map = assign_bins_lpt(per_tile.index.to_numpy(), per_tile.to_numpy(), n_bins)
