@@ -454,6 +454,34 @@ class TileRowBuilder:
         self.max_seq.append(max_seq)
         self.payload.append(b"")
 
+    def add_tiles_bulk(
+        self,
+        z: int,
+        xs: list,
+        ys: list,
+        tkeys: list,
+        features_json: list,
+        num_points: list,
+        num_simplified: list,
+        num_features: list,
+        min_seq: list,
+        max_seq: list,
+    ) -> None:
+        """Append one level's tiles in bulk (vectorized drill emission)."""
+        n = len(xs)
+        self.kind.extend([KIND_TILE] * n)
+        self.tkey.extend(tkeys)
+        self.z.extend([z] * n)
+        self.x.extend(xs)
+        self.y.extend(ys)
+        self.features_json.extend(features_json)
+        self.num_points.extend(num_points)
+        self.num_simplified.extend(num_simplified)
+        self.num_features.extend(num_features)
+        self.min_seq.extend(min_seq)
+        self.max_seq.extend(max_seq)
+        self.payload.extend([b""] * n)
+
     def add_chunk(self, z: int, x: int, y: int, payload: bytes) -> None:
         from ..arrowio.codec import tile_key
 
@@ -669,6 +697,12 @@ class UnifiedDrillOrMerge:
         y = group.column("y")[0].as_py()
         features = decode_features(group)
         features.sort(key=lambda p: p[0])
+
+        if features and not options.line_metrics and self.chunk_threshold is None:
+            from ..kernels.drill_vec import drill_subtree_vec
+
+            drill_subtree_vec(out, features, z, x, y, options, emit_root=True)
+            return
 
         tile = create_tile([f for _, f in features], z, x, y, options)
         out.add_tile(
