@@ -30,6 +30,15 @@ class LocalTileIndex:
         self.options = options
         self.tiles: dict[int, dict] = {}
         self.tile_coords: list[tuple[int, int, int]] = []
+        # debug counters (reference `src/tile-index.ts:9-31,162-169,291-294`)
+        self.stats: dict[str, int] = {}
+        self.total: int = 0
+
+    def _count_tile(self, z: int) -> None:
+        if self.options.debug:
+            key = f"z{z}"
+            self.stats[key] = self.stats.get(key, 0) + 1
+            self.total += 1
 
     def initialize(self, features: list[dict]) -> None:
         self._split_tile(features, 0, 0, 0)
@@ -76,6 +85,7 @@ class LocalTileIndex:
         tid = tile_id(0, 0, 0)
         self.tiles[tid] = root
         self.tile_coords.append((0, 0, 0))
+        self._count_tile(0)
 
     def invalidate_tiles(self, features: list[dict]) -> None:
         """Remove tiles whose buffered bounds intersect any affected feature
@@ -110,6 +120,10 @@ class LocalTileIndex:
                 for f in features
             ):
                 continue
+            if self.options.debug:
+                key = f"z{tile['z']}"
+                self.stats[key] = self.stats.get(key, 0) - 1
+                self.total -= 1
             del self.tiles[tid]
             removed.add(tid)
 
@@ -144,6 +158,7 @@ class LocalTileIndex:
                 tile = create_tile(features, z, x, y, options)
                 self.tiles[tid] = tile
                 self.tile_coords.append((z, x, y))
+                self._count_tile(z)
 
             # retain source so deeper zooms can drill from here
             tile["source"] = features
@@ -217,6 +232,16 @@ class LocalGeoJSONVT:
         if z < 0 or z > 24:
             return None
         return self.index.get_tile(z, int(x), int(y))
+
+    @property
+    def stats(self) -> dict:
+        """Per-zoom created-tile counters (with ``options.debug``), matching
+        the reference's `this.stats` (`src/tile-index.ts:14,162-169`)."""
+        return getattr(self.index, "stats", {})
+
+    @property
+    def total(self) -> int:
+        return getattr(self.index, "total", 0)
 
     def get_cluster_children(self, cluster_id: int):
         from ..cluster import ClusterIndex

@@ -46,6 +46,9 @@ class TilerOptions:
     # one-shot tile path extras (reference `src/definitions.ts:68-79`)
     wrap: bool = False
     clip: bool = False
+    # 0 = off, 1 = per-zoom tile counters, 2 = + per-tile logging
+    # (reference `src/geojsonvt.ts:22`, `src/tile-index.ts:9-31,162-169`)
+    debug: int = 0
 
     def validate(self) -> "TilerOptions":
         if self.max_zoom < 0 or self.max_zoom > 24:

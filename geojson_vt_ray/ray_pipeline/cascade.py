@@ -311,38 +311,105 @@ def write_pyramid_fast(
     ds: "ray.data.Dataset",
     options: TilerOptions,
     out_dir: str,
+    resumable: bool = True,
     **kwargs,
 ) -> dict:
-    """Streaming resumable sink over the fast pyramid: partitioned Parquet
-    keyed by zoom (`z=<n>/`) plus a `_pyramid.done` manifest. A completed
-    run is skipped wholesale on resume; per-level resume granularity is
-    available via `tiler.write_pyramid` (BFS path)."""
+    """Production pyramid sink with per-BIN resume.
+
+    Layout (``resumable=True``)::
+
+        out/_plan.json          bin plan (n_bins + tkey->bin), written once
+        out/bins/skey=<k>/      one partition per drill bin (tiles of every
+                                zoom that bin produced)
+        out/_done/<k>.done      per-bin completion markers
+        out/_pyramid.done       overall manifest (tile count)
+
+    A killed run resumes by reloading the recorded bin plan (bin membership
+    stays deterministic regardless of cluster size), deleting partition
+    directories without a done marker, and re-running the pipeline with the
+    finished bins FILTERED OUT BEFORE THE DRILL SHUFFLE — completed subtree
+    work is skipped as compute, not just as writes. The cascade pass itself
+    re-runs (it is the cheap, shuffle-free ~2% of the job).
+
+    ``resumable=False`` keeps the flat ``z=<n>/`` layout with all-or-nothing
+    resume.
+    """
+    import glob
     import os
+    import shutil
+
+    import pyarrow.parquet as pq
 
     done = os.path.join(out_dir, "_pyramid.done")
     if os.path.exists(done):
         with open(done) as f:
             return {"tiles": int(f.read() or 0), "resumed": True}
     os.makedirs(out_dir, exist_ok=True)
-    tiles = build_pyramid_fast(ds, options, **kwargs)
-    tiles.write_parquet(out_dir, partition_cols=["z"])
 
-    # count rows from the written files (cheap metadata scan)
-    import glob
+    if not resumable:
+        tiles = build_pyramid_fast(ds, options, **kwargs)
+        tiles.write_parquet(out_dir, partition_cols=["z"])
+        n = 0
+        for part in glob.glob(os.path.join(out_dir, "z=*", "*.parquet")):
+            n += pq.ParquetFile(part).metadata.num_rows
+        with open(done, "w") as f:
+            f.write(str(n))
+        return {"tiles": n, "resumed": False}
 
-    import pyarrow.parquet as pq
+    plan_path = os.path.join(out_dir, "_plan.json")
+    done_dir = os.path.join(out_dir, "_done")
+    bins_dir = os.path.join(out_dir, "bins")
+    os.makedirs(done_dir, exist_ok=True)
+
+    bin_plan = None
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            bin_plan = json.load(f)
+    done_bins = {
+        int(os.path.basename(p)[: -len(".done")])
+        for p in glob.glob(os.path.join(done_dir, "*.done"))
+    }
+    # partitions without a done marker are partial output of a killed run
+    for d in glob.glob(os.path.join(bins_dir, "skey=*")):
+        if int(os.path.basename(d).split("=")[1]) not in done_bins:
+            shutil.rmtree(d)
+
+    tiles = build_pyramid_fast(
+        ds, options, bin_plan=bin_plan, keep_skey=True,
+        skip_bins=done_bins or None, **kwargs,
+    )
+    plan = tiles._graft_plan
+    if not os.path.exists(plan_path):
+        with open(plan_path, "w") as f:
+            json.dump({"n_bins": plan["n_bins"], "bins": plan["bins"]}, f)
+    tiles.write_parquet(bins_dir, partition_cols=["skey"])
 
     n = 0
-    for part in glob.glob(os.path.join(out_dir, "z=*", "*.parquet")):
-        n += pq.ParquetFile(part).metadata.num_rows
+    for d in glob.glob(os.path.join(bins_dir, "skey=*")):
+        k = int(os.path.basename(d).split("=")[1])
+        for part in glob.glob(os.path.join(d, "*.parquet")):
+            n += pq.ParquetFile(part).metadata.num_rows
+        marker = os.path.join(done_dir, f"{k}.done")
+        if not os.path.exists(marker):
+            with open(marker, "w") as f:
+                f.write("1")
     with open(done, "w") as f:
         f.write(str(n))
-    return {"tiles": n, "resumed": False}
+    return {"tiles": n, "resumed": bool(done_bins)}
 
 
 class TileServer:
     """Read-side getTile over a written pyramid (the batch engine's stand-in
-    for the reference's lazy in-memory index, SURVEY.md §3.2)."""
+    for the reference's lazy in-memory index, SURVEY.md §3.2).
+
+    Startup reads only the (z, x, y) index columns of every partition file;
+    tile payloads (`features_json`) load lazily per file on first access,
+    with a small LRU of hydrated files. ``_updates/upd_*`` directories
+    written by `incremental_update_pyramid` overlay the base pyramid in
+    directory order (newest wins), completing the reference's
+    updateData → getTile loop (`test/update.test.ts:452`)."""
+
+    _CACHE_FILES = 16
 
     def __init__(self, out_dir: str):
         import glob
@@ -350,33 +417,63 @@ class TileServer:
 
         import pyarrow.parquet as pq
 
-        self.by_zoom: dict[int, dict[tuple[int, int], dict]] = {}
-        for zdir in glob.glob(os.path.join(out_dir, "z=*")):
+        self._pq = pq
+        self._index: dict[tuple[int, int, int], tuple[str, int, Optional[int]]] = {}
+        self._cache: dict[str, list] = {}
+
+        files: list[tuple[str, Optional[int]]] = []
+        for zdir in sorted(glob.glob(os.path.join(out_dir, "z=*"))):
             z = int(os.path.basename(zdir).split("=")[1])
-            level: dict[tuple[int, int], dict] = {}
-            for part in glob.glob(os.path.join(zdir, "*.parquet")):
-                t = pq.read_table(part)
-                for row in t.to_pylist():
-                    level[(row["x"], row["y"])] = row
-            self.by_zoom[z] = level
+            for part in sorted(glob.glob(os.path.join(zdir, "*.parquet"))):
+                files.append((part, z))
+        for part in sorted(glob.glob(os.path.join(out_dir, "bins", "skey=*", "*.parquet"))):
+            files.append((part, None))
+        # updates overlay last, in creation order: newest wins
+        for upd in sorted(glob.glob(os.path.join(out_dir, "_updates", "*"))):
+            for part in sorted(glob.glob(os.path.join(upd, "**", "*.parquet"), recursive=True)):
+                files.append((part, None))
+
+        for path, fixed_z in files:
+            cols = ["x", "y"] if fixed_z is not None else ["z", "x", "y"]
+            t = pq.read_table(path, columns=cols)
+            xs = t.column("x").to_pylist()
+            ys = t.column("y").to_pylist()
+            zs = t.column("z").to_pylist() if fixed_z is None else [fixed_z] * len(xs)
+            for i in range(len(xs)):
+                self._index[(zs[i], xs[i], ys[i])] = (path, i, fixed_z)
+
+    def _rows(self, path: str) -> list:
+        rows = self._cache.get(path)
+        if rows is None:
+            t = self._pq.read_table(
+                path,
+                columns=["features_json", "num_points", "num_simplified", "num_features"],
+            )
+            rows = [
+                t.column(c).to_pylist()
+                for c in ("features_json", "num_points", "num_simplified", "num_features")
+            ]
+            if len(self._cache) >= self._CACHE_FILES:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[path] = rows
+        return rows
 
     def get_tile(self, z: int, x: int, y: int):
-        level = self.by_zoom.get(z)
-        if level is None:
-            return None
         z2 = 1 << z
         x = (x + z2) & (z2 - 1)  # wrap x like the reference
-        row = level.get((x, y))
-        if row is None:
+        hit = self._index.get((z, x, y))
+        if hit is None:
             return None
+        path, i, _ = hit
+        fj, npn, nsi, nfe = self._rows(path)
         return {
             "z": z,
             "x": x,
             "y": y,
-            "features": json.loads(row["features_json"]),
-            "numPoints": row["num_points"],
-            "numSimplified": row["num_simplified"],
-            "numFeatures": row["num_features"],
+            "features": json.loads(fj[i]),
+            "numPoints": npn[i],
+            "numSimplified": nsi[i],
+            "numFeatures": nfe[i],
         }
 
 
@@ -874,6 +971,10 @@ def build_pyramid_fast(
     drill_partitions: "int | str" = "auto",
     chunk_threshold: "Optional[float] | str" = "auto",
     deepen: bool = True,
+    subtree_filter: "Optional[set[int]]" = None,
+    bin_plan: "Optional[dict]" = None,
+    keep_skey: bool = False,
+    skip_bins: "Optional[set[int]]" = None,
 ) -> "ray.data.Dataset":
     """Production pyramid: ONE cascade map stage to ``z_handoff`` (shallow
     tiles assembled as mergeable partials), ONE cost-balanced groupby that
@@ -888,6 +989,16 @@ def build_pyramid_fast(
     by the heaviest BIN, not a hash-collision of heavy tiles, and (b) the
     default-on monster-subtree chunking decision (`auto_chunk_threshold`;
     pass None to force streaming, a float to force chunking).
+
+    ``subtree_filter``: optional set of hand-off tile keys — only those
+    subtrees are drilled (shallow z<z_handoff tiles still assemble from the
+    full cascade pass). This is the incremental-update pruning path: the
+    expensive drill runs over O(affected subtrees), not the world.
+
+    ``bin_plan``: optional dict ``{"n_bins": int, "bins": {tkey: bin}}``
+    recorded by a previous run — reusing it makes bin membership
+    deterministic across resumed runs regardless of cluster size. The plan
+    actually used is exposed on the returned dataset as ``ds._graft_plan``.
     """
     import pyarrow.compute as pc
 
@@ -907,6 +1018,21 @@ def build_pyramid_fast(
         )
         .materialize()  # cascade output is small (partials + hand-off frontier)
     )
+
+    if subtree_filter is not None:
+        filt_ref = _ray.put(frozenset(subtree_filter))
+
+        def prune(batch: pa.Table) -> pa.Table:
+            keep_keys: frozenset = _ray.get(filt_ref)
+            tk = batch.column("tkey").to_numpy()
+            kinds = batch.column("kind").to_numpy()
+            drill_row = (kinds == KIND_FEATURE) | (kinds == KIND_MARKER)
+            in_set = np.isin(
+                tk, np.fromiter(keep_keys, dtype=np.int64, count=len(keep_keys))
+            )
+            return batch.filter(pa.array(~drill_row | in_set))
+
+        cur = cur.map_batches(prune, batch_format="pyarrow").materialize()
 
     if heavy_threshold is not None:
         return _build_pyramid_heavy_loop(
@@ -948,8 +1074,15 @@ def build_pyramid_fast(
 
     if chunk_threshold == "auto":
         chunk_threshold = auto_chunk_threshold(per_tile.to_numpy(), ncpu)
-    bin_map = assign_bins_lpt(per_tile.index.to_numpy(), per_tile.to_numpy(), n_bins)
+    if bin_plan is not None:
+        n_bins = int(bin_plan["n_bins"])
+        bin_map = {int(k): int(v) for k, v in bin_plan["bins"].items()}
+    else:
+        bin_map = assign_bins_lpt(per_tile.index.to_numpy(), per_tile.to_numpy(), n_bins)
+    plan = {"n_bins": n_bins, "bins": bin_map}
     bin_ref = _ray.put(bin_map)
+
+    skip = frozenset(skip_bins) if skip_bins else None
 
     def add_bin(batch: pa.Table) -> pa.Table:
         bm: dict[int, int] = _ray.get(bin_ref)
@@ -964,12 +1097,23 @@ def build_pyramid_fast(
             dtype=np.int64,
             count=len(tk),
         )
-        return batch.append_column("skey", pa.array(skey))
+        out = batch.append_column("skey", pa.array(skey))
+        if skip:
+            # resume: rows of completed bins drop BEFORE the shuffle, so
+            # finished subtrees cost no drill compute on a resumed run
+            out = out.filter(
+                pa.array(~np.isin(skey, np.fromiter(skip, dtype=np.int64, count=len(skip))))
+            )
+        return out
 
     unified = UnifiedDrillOrMerge(z_handoff, options, chunk_threshold)
 
     def run_group(group: pa.Table, _u=unified) -> pa.Table:
-        return _u(group)
+        t = _u(group)
+        if keep_skey:
+            sk = group.column("skey")[0].as_py()
+            t = t.append_column("skey", pa.array([sk] * t.num_rows, pa.int64()))
+        return t
 
     # pre-shuffle block fan-out: Ray's sort-based map_groups parallelism
     # follows input block count — the small-byte cascade output would
@@ -987,12 +1131,18 @@ def build_pyramid_fast(
     )
     if chunk_threshold is None:
         # fully streaming: drill output flows straight to the consumer
-        return level_out.select_columns(TILE_COLUMNS)
+        out = level_out.select_columns(
+            TILE_COLUMNS + (["skey"] if keep_skey else [])
+        )
+        out._graft_plan = plan
+        return out
 
     # chunked mode: monstrous subtrees are deferred as chunk rows and
     # drilled in additional map rounds (disjoint subtrees → complete
     # tiles, no merge). Costs one materialize per round; rounds ≈
     # log4(monster/threshold).
+    if keep_skey:
+        raise ValueError("keep_skey requires chunk_threshold=None (streaming mode)")
     level_out = level_out.materialize()
     tiles = level_out.map_batches(
         _kind_filter((KIND_TILE,)), batch_format="pyarrow"
@@ -1013,6 +1163,7 @@ def build_pyramid_fast(
             .select_columns(TILE_COLUMNS)
         )
         chunks = nxt.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
+    tiles._graft_plan = plan
     return tiles
 
 
@@ -1061,3 +1212,46 @@ def _build_pyramid_heavy_loop(
         if frontier.count() == 0:
             break
     return tiles
+
+
+def pyramid_stats(tiles: "ray.data.Dataset") -> dict:
+    """Distributed analogue of the reference's debug stats
+    (`src/tile-index.ts:9-31`): per-zoom created-tile counters plus
+    feature/point/simplified sums, computed as a per-batch partial aggregate
+    (only ≤25 tiny rows per block leave each task — no tile shuffle)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["z", "num_points", "num_simplified", "num_features"])
+        t = t.append_column(
+            "nonempty", pc.cast(pc.greater(t.column("num_features"), 0), pa.int64())
+        )
+        g = t.group_by("z").aggregate(
+            [("z", "count"), ("num_points", "sum"), ("num_simplified", "sum"),
+             ("num_features", "sum"), ("nonempty", "sum")]
+        )
+        return g.rename_columns(
+            ["z", "tiles", "points", "simplified", "features", "nonempty"]
+        )
+
+    small = tiles.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = small.groupby("z")[["tiles", "points", "simplified", "features", "nonempty"]].sum()
+    # `stats` mirrors the reference: every created tile counts, including
+    # empty split children (`src/tile-index.ts:222-228` pushes `tl || []`)
+    stats = {f"z{int(z)}": int(r["tiles"]) for z, r in agg.iterrows()}
+    per_zoom = {
+        int(z): {
+            "tiles": int(r["tiles"]),
+            "tiles_nonempty": int(r["nonempty"]),
+            "points": int(r["points"]),
+            "simplified": int(r["simplified"]),
+            "features": int(r["features"]),
+        }
+        for z, r in agg.iterrows()
+    }
+    return {
+        "total": int(agg["tiles"].sum()),
+        "total_nonempty": int(agg["nonempty"].sum()),
+        "stats": stats,
+        "per_zoom": per_zoom,
+    }

@@ -136,19 +136,33 @@ def incremental_update_pyramid(
 ) -> dict:
     """Recompute only the affected subtrees of a written pyramid.
 
-    Strategy (round-1): compute the affected tile-key set from the diff's
-    feature bboxes, rebuild the full pyramid Dataset lazily but FILTER to
-    affected keys before writing, then overwrite just those rows' partitions.
-    A finer-grained implementation would prune the cascade itself by bbox at
-    the read.
+    Pruning is subtree-granular at the hand-off zoom: any change invalidates
+    every shallow ancestor down to z0, so shallow tiles (z ≤ z_handoff) are
+    rebuilt by the cheap shuffle-free cascade pass over the patched source —
+    but the expensive drill below the hand-off runs ONLY over the affected
+    hand-off subtrees (`build_pyramid_fast(subtree_filter=...)`). Changed
+    tiles land in ``out_dir/_updates/upd_<n>/``, which `TileServer` overlays
+    over the base pyramid (newest wins), completing the reference's
+    updateData → getTile loop (`src/tile-index.ts:235-305`,
+    `test/update.test.ts:452`) without recomputing the world.
     """
+    import glob
+    import os
+
+    from ..arrowio.codec import tile_key
     from .cascade import build_pyramid_fast
 
     patched, affected = apply_diff_dataset(source_rows, diff, options)
     keys = affected_tile_keys(affected, options.max_zoom, options)
     keys_ref = ray.put(keys)
 
-    tiles = build_pyramid_fast(patched, options, **pyramid_kwargs)
+    zh = min(pyramid_kwargs.get("z_handoff", 7), options.max_zoom)
+    pyramid_kwargs["z_handoff"] = zh
+    sub_keys = {tile_key(z, x, y) for (z, x, y) in keys if z == zh}
+
+    tiles = build_pyramid_fast(
+        patched, options, subtree_filter=sub_keys, **pyramid_kwargs
+    )
 
     def only_affected(batch: pa.Table) -> pa.Table:
         ks = ray.get(keys_ref)
@@ -163,8 +177,11 @@ def incremental_update_pyramid(
         return batch.filter(pa.array(mask))
 
     changed = tiles.map_batches(only_affected, batch_format="pyarrow")
-    import os
-
-    target = os.path.join(out_dir, "_updates")
+    seq = len(glob.glob(os.path.join(out_dir, "_updates", "upd_*")))
+    target = os.path.join(out_dir, "_updates", f"upd_{seq:04d}")
     changed.write_parquet(target)
-    return {"affected_tiles": len(keys), "update_dir": target}
+    return {
+        "affected_tiles": len(keys),
+        "affected_subtrees": len(sub_keys),
+        "update_dir": target,
+    }

@@ -87,3 +87,49 @@ def test_incremental_update_pyramid(ray_session, tmp_path):
     # the updated root tile contains all three points
     root = [r for r in rows if (r["z"], r["x"], r["y"]) == (0, 0, 0)]
     assert root and root[0]["num_features"] == 3
+
+
+def test_incremental_update_overlay_and_pruning(ray_session, tmp_path):
+    """End-to-end updateData -> getTile: base pyramid written, a diff applied
+    incrementally, TileServer overlays the update; the drill only ran over
+    affected hand-off subtrees and the served tiles match a full rebuild of
+    the patched source."""
+    import json as _json
+
+    from geojson_vt_ray.engine import LocalGeoJSONVT
+    from geojson_vt_ray.ray_pipeline.cascade import TileServer, write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.incremental import incremental_update_pyramid
+
+    options = TilerOptions(max_zoom=5)
+    # two far-apart clusters: an update near (0.5, 0.5) must not touch the
+    # subtree containing (100, 45)
+    feats = [_point(1, 0.5, 0.5), _point(2, 100, 45), _point(4, 101, 44)]
+    src = _rows(feats)
+    out = str(tmp_path / "pyr")
+    write_pyramid_fast(src, TilerOptions(max_zoom=5), out, z_handoff=3)
+
+    diff = {"add": [_point(3, 0.6, 0.6)]}
+    res = incremental_update_pyramid(src, diff, options, out, z_handoff=3)
+    # pruning: far fewer subtrees than the 4^3 hand-off grid
+    assert 0 < res["affected_subtrees"] <= 4
+
+    # ground truth: local engine over the patched source
+    patched = {
+        "type": "FeatureCollection",
+        "features": feats + diff["add"],
+    }
+    local = LocalGeoJSONVT(
+        patched, options.with_(index_max_zoom=0, index_max_points=0)
+    )
+    server = TileServer(out)
+    # updated region AND untouched region both serve correctly
+    for (z, x, y) in ((0, 0, 0), (2, 2, 1), (5, 16, 15), (3, 6, 2), (5, 24, 11)):
+        lt = local.get_tile(z, x, y)
+        st = server.get_tile(z, x, y)
+        if lt is None:
+            assert st is None or st["features"] == []
+        else:
+            assert st is not None, (z, x, y)
+            assert _json.loads(_json.dumps(st["features"])) == _json.loads(
+                _json.dumps(lt["features"])
+            ), (z, x, y)
