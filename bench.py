@@ -89,6 +89,7 @@ def run_benchmarks() -> dict:
             TilerOptions(max_zoom=14),
             z_handoff=6,
             drill_partitions=128,
+            batch_size=32,  # parallelize the cascade on the small replicated input
         ).count(),
     )
     extra["pyramid_tiles"] = n_tiles
@@ -191,6 +192,7 @@ def main() -> None:
         )
         return
 
+    load_before = os.getloadavg()
     res = run_benchmarks()
     timings = res["timings"]
     out = {
@@ -202,6 +204,9 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "pyramid_tiles": res["extra"]["pyramid_tiles"],
         "tiles_per_sec": res["extra"]["tiles_per_sec"],
+        # shared-host noise witness: 1-min load average before/after the run
+        "load_avg_before": round(load_before[0], 1),
+        "load_avg_after": round(os.getloadavg()[0], 1),
     }
     print(json.dumps(out))
 

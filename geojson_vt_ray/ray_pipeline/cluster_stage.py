@@ -146,3 +146,25 @@ def grid_cluster_tiles(
 
     cells = points.map_batches(assign, batch_format="pyarrow")
     return cells.groupby("cell").map_groups(cluster_cell, batch_format="pandas")
+
+
+def cluster_tiles(
+    points: "ray.data.Dataset",
+    options: Optional[ClusterOptions] = None,
+    zoom: int = 0,
+    exact_max_points: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Size-dispatching cluster stage.
+
+    At or below ``exact_max_points`` the bit-exact single-holder greedy runs
+    (`cluster_tiles_exact` — same one-process cap the reference has,
+    `src/cluster-tile-index.ts:378-458`); above it the grid-cell scale-out
+    variant runs (documented deviation — the reference cannot process such
+    inputs at all, so there is no bit-parity contract to preserve there).
+
+    Note: the size probe is a ``count()`` — cheap on materialized inputs,
+    one extra pass on lazy ones.
+    """
+    if points.count() <= exact_max_points:
+        return cluster_tiles_exact(points, options, zoom)
+    return grid_cluster_tiles(points, options, zoom)

@@ -57,3 +57,26 @@ def test_update_cluster_options_toggle():
     vt.update_cluster_options(False, ClusterOptions())
     t_back = vt.get_tile(0, 0, 0)
     assert len(t_back["features"]) == n0
+
+
+def test_cluster_tiles_size_dispatch(ray_session):
+    """Below the cap: bit-exact greedy; above: the grid scale-out variant."""
+    import numpy as np
+    import ray.data
+
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import (
+        cluster_tiles, cluster_tiles_exact,
+    )
+
+    rs = np.random.RandomState(0)
+    pts = ray.data.from_items(
+        [{"image_id": int(i), "phash": int(rs.randint(1 << 48))} for i in range(300)]
+    )
+    small = cluster_tiles(pts, ClusterOptions(max_zoom=6), zoom=1).to_pandas()
+    exact = cluster_tiles_exact(pts, ClusterOptions(max_zoom=6), zoom=1).to_pandas()
+    assert small.equals(exact)
+
+    big = cluster_tiles(pts, ClusterOptions(max_zoom=6), zoom=1, exact_max_points=100)
+    # grid path emits the cell-local schema (cluster ids per seed), still rows
+    assert big.count() > 0
