@@ -161,6 +161,32 @@ def q_events_hourly(sf_dir: str):
     return tumbling_window_stats(events, window_seconds=3600)
 
 
+def q_events_asof(sf_dir: str):
+    """Backward as-of join: for each click event, the latest view event
+    timestamp by the same user (distributed searchsorted merge, one
+    shuffle; operator `events.asof_join_latest`)."""
+    import pyarrow.compute as pc
+
+    from .events import asof_join_latest
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    clicks = events.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "click")).select(
+            ["event_id", "ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    views = events.map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "view")).select(
+            ["event_id", "ts", "user_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    return asof_join_latest(clicks, views)
+
+
 def q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -338,6 +364,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_fingerprints": q_doc_fingerprints,
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "events_hourly": q_events_hourly,
+    "events_asof": q_events_asof,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "emb_near_dup": q_emb_near_dup,
@@ -474,6 +501,12 @@ ORACLES: dict[str, str] = {
                (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                count(*) AS n_events, min(value) AS min_value, max(value) AS max_value
         FROM events GROUP BY 1, 2
+    """,
+    "events_asof": """
+        SELECT l.event_id, l.user_id, l.ts, r.ts AS matched_ts
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
     """,
     "emb_near_dup": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
