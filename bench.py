@@ -187,6 +187,8 @@ def main() -> None:
                     "scaling_efficiency": round(eff, 3),
                     "queries_8": results[8]["queries"],
                     "queries_32": results[32]["queries"],
+                    "load_avg_8": [results[8].get("load_avg_before"), results[8].get("load_avg_after")],
+                    "load_avg_32": [results[32].get("load_avg_before"), results[32].get("load_avg_after")],
                 }
             )
         )
