@@ -936,11 +936,17 @@ def assign_bins_lpt(tkeys: np.ndarray, ests: np.ndarray, n_bins: int) -> dict[in
     order = np.argsort(-ests, kind="stable")
     heap = [(0.0, b) for b in range(n_bins)]
     out: dict[int, int] = {}
+    loads = [0.0] * n_bins
     for i in order:
         load, b = heapq.heappop(heap)
         out[int(tkeys[i])] = b
-        heapq.heappush(heap, (load + float(ests[i]) + 1.0, b))
-    return out
+        loads[b] = load + float(ests[i]) + 1.0
+        heapq.heappush(heap, (loads[b], b))
+    # relabel bins heaviest-first: the sort shuffle emits blocks in key
+    # order and the drill launches tasks as blocks arrive, so low ids run
+    # first — heaviest bins starting first trims the makespan tail
+    rank = {b: r for r, b in enumerate(sorted(range(n_bins), key=lambda b: -loads[b]))}
+    return {tk: rank[b] for tk, b in out.items()}
 
 
 def auto_chunk_threshold(
