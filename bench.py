@@ -96,6 +96,10 @@ def run_benchmarks() -> dict:
     extra["replication"] = rep
     extra["tiles_per_sec"] = round(n_tiles / timings["us_states_pyramid_z14"], 1)
 
+    if os.environ.get("GRAFT_PYRAMID_ONLY"):
+        ray.shutdown()
+        return {"timings": timings, "extra": extra}
+
     # ---- image-table pipelines ---------------------------------------------
     n_imgs = 2_000_000
     timed(
@@ -162,9 +166,15 @@ def run_benchmarks() -> dict:
 
 def main() -> None:
     if "--scaling" in sys.argv:
+        # pyramid-only ladder in fresh processes; every N -> 4N pair reported.
+        # This host is shared (noise witness: load averages) and 32 procs hit
+        # its memory-bandwidth wall — see BASELINE.md for the ladder analysis.
+        ladder = (2, 8, 32)
         results = {}
-        for ncpu in (8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        for ncpu in ladder:
+            env = dict(
+                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PYRAMID_ONLY="1"
+            )
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -173,22 +183,27 @@ def main() -> None:
                 check=True,
             ).stdout
             results[ncpu] = json.loads(out.strip().splitlines()[-1])
-        t8 = results[8]["value"]
-        t32 = results[32]["value"]
-        eff = (t8 / t32) / (32 / 8)
         print(
             json.dumps(
                 {
-                    "metric": "us-states z0-z14 pyramid scaling 8->32 cpus",
-                    "sec_8": t8,
-                    "sec_32": t32,
-                    "tiles_per_sec_8": results[8].get("tiles_per_sec"),
-                    "tiles_per_sec_32": results[32].get("tiles_per_sec"),
-                    "scaling_efficiency": round(eff, 3),
-                    "queries_8": results[8]["queries"],
-                    "queries_32": results[32]["queries"],
-                    "load_avg_8": [results[8].get("load_avg_before"), results[8].get("load_avg_after")],
-                    "load_avg_32": [results[32].get("load_avg_before"), results[32].get("load_avg_after")],
+                    "metric": "us-states z0-z14 pyramid scaling ladder (fresh processes)",
+                    "sec": {str(n): results[n]["value"] for n in ladder},
+                    "tiles_per_sec": {
+                        str(n): results[n].get("tiles_per_sec") for n in ladder
+                    },
+                    "scaling_efficiency_2_to_8": round(
+                        (results[2]["value"] / results[8]["value"]) / 4, 3
+                    ),
+                    "scaling_efficiency_8_to_32": round(
+                        (results[8]["value"] / results[32]["value"]) / 4, 3
+                    ),
+                    "load_avg": {
+                        str(n): [
+                            results[n].get("load_avg_before"),
+                            results[n].get("load_avg_after"),
+                        ]
+                        for n in ladder
+                    },
                 }
             )
         )
