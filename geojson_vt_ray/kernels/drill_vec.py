@@ -662,18 +662,107 @@ def drill_subtree_vec(
 
     ``features`` are decoded (seq, feature) pairs in reference order.
     """
-    ws, meta = build_working_set(features)
-    tiles = np.array([[x, y]], dtype=np.int64)
-    if emit_root:
-        _emit_level(out, ws, meta, z, tiles, options, np.empty((0, 2), dtype=np.int64))
+    drill_forest_vec(out, [(features, z, x, y)], options, emit_roots=emit_root)
+
+
+def drill_forest_vec(
+    out, roots: list, options: TilerOptions, emit_roots: bool = True
+) -> None:
+    """Level-synchronous drill of a FOREST of subtrees (one drill bin).
+
+    ``roots`` = [(features, z, x, y)] at possibly mixed zooms. All live
+    tiles across every subtree share one working set per level, so each
+    level costs one set of array kernels regardless of how many subtrees
+    the bin holds — per-subtree numpy dispatch overhead (the dominant cost
+    once DeepenHeavy splits bins into many small subtrees) amortizes away.
+    Subtrees are spatially disjoint, so the per-tile slab bounds and
+    emission are unchanged; output rows are identical to drilling each
+    root alone.
+    """
+    cohorts: dict[int, list] = {}
+    for features, z, x, y in roots:
+        cohorts.setdefault(z, []).append((features, x, y))
+    z_cur = min(cohorts)
+    max_pending = max(cohorts)
+
+    ws, meta = _concat_ws([], [])
+    tiles = np.empty((0, 2), dtype=np.int64)
 
     k1 = 0.5 * options.buffer / options.extent
     k2 = 0.5 - k1
     k3 = 0.5 + k1
     k4 = 1 + k1
 
-    cz = z
-    while cz < options.max_zoom and ws.num_features:
+    cz = z_cur
+    while True:
+        cohort = cohorts.pop(cz, None)
+        if cohort:
+            sets = [ws] if ws.num_features else []
+            new_tiles = tiles.tolist()
+            root_empty = []
+            for features, x, y in cohort:
+                if not features:
+                    root_empty.append((x, y))
+                    continue
+                cws, cmeta = build_working_set(features, tile_idx=len(new_tiles))
+                cws.feat_meta = cws.feat_meta + len(meta)
+                meta = meta + cmeta
+                new_tiles.append((x, y))
+                sets.append(cws)
+            ws, meta = _concat_ws(sets, meta)
+            cohort_n = len(cohort) - len(root_empty)
+            tiles = (
+                np.asarray(new_tiles, dtype=np.int64).reshape(-1, 2)
+                if new_tiles
+                else np.empty((0, 2), dtype=np.int64)
+            )
+            if emit_roots:
+                # emit just-joined roots (the pre-existing tiles were
+                # emitted when they joined or as children)
+                first = len(new_tiles) - cohort_n
+                _emit_level(
+                    out,
+                    _tile_slice_view(ws, first),
+                    meta,
+                    cz,
+                    tiles[first:],
+                    options,
+                    np.asarray(root_empty, dtype=np.int64).reshape(-1, 2),
+                )
+        if cz >= options.max_zoom or (ws.num_features == 0 and cz >= max_pending):
+            break
+        if ws.num_features == 0:
+            cz += 1
+            continue
+        _step = _forest_level_step(out, ws, meta, tiles, cz, options, k1, k2, k3, k4)
+        ws, meta, tiles = _step
+        cz += 1
+
+
+def _tile_slice_view(ws: WorkingSet, first_tile: int) -> WorkingSet:
+    """Features of tiles >= first_tile (a just-joined cohort): features are
+    tile-sorted, so this is a suffix slice of every array."""
+    f0 = int(np.searchsorted(ws.feat_tile, first_tile, side="left"))
+    p0 = int(ws.feat_off[f0])
+    r0 = int(ws.part_off[p0])
+    n0 = int(ws.ring_off[r0])
+    return WorkingSet(
+        ws.pts[n0:],
+        ws.ring_off[r0:] - n0,
+        ws.ring_size[r0:],
+        ws.part_off[p0:] - r0,
+        ws.feat_off[f0:] - p0,
+        ws.feat_class[f0:],
+        ws.feat_meta[f0:],
+        ws.feat_tile[f0:] - first_tile,
+        ws.fminx[f0:], ws.fminy[f0:], ws.fmaxx[f0:], ws.fmaxy[f0:],
+    )
+
+
+def _forest_level_step(out, ws, meta, tiles, cz, options, k1, k2, k3, k4):
+    """One descend step shared by the forest drill (body of the old
+    per-subtree loop)."""
+    if True:
         txs = tiles[:, 0].astype(np.float64)
         tys = tiles[:, 1].astype(np.float64)
         left = _clip_pass(ws, cz, -k1, k3, 0, txs)
@@ -720,11 +809,11 @@ def drill_subtree_vec(
             if new_tiles
             else np.empty((0, 2), dtype=np.int64)
         )
-        cz += 1
         _emit_level(
-            out, ws, meta, cz, tiles, options,
+            out, ws, meta, cz + 1, tiles, options,
             np.asarray(empty, dtype=np.int64).reshape(-1, 2),
         )
+        return ws, meta, tiles
 
 
 def _concat_ws(sets: list, meta: list) -> tuple[WorkingSet, list]:

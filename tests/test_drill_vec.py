@@ -128,3 +128,46 @@ def test_drill_vec_matches_scalar_us_states(fixtures):
     o2 = TileRowBuilder()
     drill_subtree_vec(o2, features, 0, 0, 0, options, emit_root=True)
     assert _rows(o1) == _rows(o2)
+
+
+def test_drill_forest_matches_per_root(fixtures):
+    """A forest of mixed-zoom roots (incl. an empty one) must emit exactly
+    the union of the per-root drills."""
+    from geojson_vt_ray.kernels.clip import AXIS_X, AXIS_Y, clip
+    from geojson_vt_ray.kernels.drill_vec import drill_forest_vec
+
+    data = fixtures("us-states.json")
+    options = TilerOptions(max_zoom=8).validate()
+    internal = wrap(convert_to_internal(data, options), options)
+    feats = [(i.to_bytes(4, "big"), f) for i, f in enumerate(internal)]
+
+    # build disjoint roots: z2 tiles by clipping the world, plus one z3 root
+    def tile_feats(fs, z, x, y):
+        z2 = 1 << z
+        k1 = 0.5 * options.buffer / options.extent
+        out = []
+        for seq, f in fs:
+            a = clip([f], z2, x - k1, x + 1 + k1, AXIS_X, f["minX"], f["maxX"], False)
+            if not a:
+                continue
+            b = clip(a, z2, y - k1, y + 1 + k1, AXIS_Y, f["minY"], f["maxY"], False)
+            if b:
+                out.append((seq, b[0]))
+        return out
+
+    roots = []
+    for (z, x, y) in ((2, 0, 1), (2, 1, 1), (3, 2, 3)):
+        roots.append((tile_feats(feats, z, x, y), z, x, y))
+    roots.append(([], 2, 3, 3))  # marker-only root
+
+    o_forest = TileRowBuilder()
+    drill_forest_vec(o_forest, roots, options, emit_roots=True)
+
+    o_single = TileRowBuilder()
+    for fs, z, x, y in roots:
+        if fs:
+            drill_subtree_vec(o_single, fs, z, x, y, options, emit_root=True)
+        else:
+            o_single.add_tiles_bulk(z, [x], [y], [((1 << z) * y + x) * 32 + z],
+                                    ["[]"], [0], [0], [0], [b""], [b""])
+    assert _rows(o_forest) == _rows(o_single)
