@@ -182,7 +182,7 @@ def main() -> None:
         # pyramid-only ladder in fresh processes; every N -> 4N pair reported.
         # This host is shared (noise witness: load averages) and 32 procs hit
         # its memory-bandwidth wall — see BASELINE.md for the ladder analysis.
-        ladder = (2, 8, 32)
+        ladder = (4, 8, 16, 32)
         results = {}
         for ncpu in ladder:
             env = dict(
@@ -204,8 +204,8 @@ def main() -> None:
                     "tiles_per_sec": {
                         str(n): results[n].get("tiles_per_sec") for n in ladder
                     },
-                    "scaling_efficiency_2_to_8": round(
-                        (results[2]["value"] / results[8]["value"]) / 4, 3
+                    "scaling_efficiency_4_to_16": round(
+                        (results[4]["value"] / results[16]["value"]) / 4, 3
                     ),
                     "scaling_efficiency_8_to_32": round(
                         (results[8]["value"] / results[32]["value"]) / 4, 3
