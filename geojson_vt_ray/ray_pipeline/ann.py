@@ -295,3 +295,101 @@ def lsh_topk(
     return partial.groupby("query_id").map_groups(
         _topk_merge(k, exclude_self=True), batch_format="pyarrow"
     )
+
+
+def _spherical_kmeans(
+    sample: np.ndarray, n_centroids: int, iters: int = 10
+) -> np.ndarray:
+    """Deterministic spherical k-means on a bounded driver-side sample:
+    strided init (no RNG), assign by max cosine, recenter + renormalize;
+    an emptied cluster keeps its previous centroid."""
+    sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = sn[:: max(1, len(sn) // n_centroids)][:n_centroids].copy()
+    for _ in range(iters):
+        assign = np.argmax(sn @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sn[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                nrm = np.linalg.norm(v)
+                if nrm > 0:
+                    cents[c] = v / nrm
+    return cents
+
+
+def ivf_topk(
+    embeddings: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    kmeans_iters: int = 10,
+) -> "ray.data.Dataset":
+    """IVF-flat ANN: a coarse spherical-kmeans codebook (trained on a
+    bounded ``sample_size`` sample — standard IVF practice, the only
+    driver-side materialization) partitions vectors into cells; each query
+    scans only its ``nprobe`` nearest cells. Per batch every vector's cell
+    is one argmax; partial top-k per query feeds the same tiny per-query
+    merge as the brute-force path. Recall vs `brute_force_topk` is
+    asserted in tests.
+    """
+    sample = _emb_matrix(
+        embeddings.limit(sample_size).take_batch(sample_size, batch_format="pyarrow")
+    )
+    cents = _spherical_kmeans(sample, n_centroids, kmeans_iters)
+    q = np.asarray(query_vecs, dtype=np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # per-query probed cells: top-nprobe centroids by cosine
+    probes = np.argsort(-(qn @ cents.T), kind="stable", axis=1)[:, :nprobe]
+    refs = ray.put((qn, np.asarray(query_ids), probes, cents))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.qn, self.qids, self.probes, self.cents = ray.get(refs)
+            self.probe_sets = [set(map(int, row)) for row in self.probes]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            embs = _emb_matrix(batch)
+            vec_ids = batch.column("vec_id").to_numpy()
+            en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+            cells = np.argmax(en @ self.cents.T, axis=1)
+            out_q: list[np.ndarray] = []
+            out_n: list[np.ndarray] = []
+            out_s: list[np.ndarray] = []
+            for qi in range(len(self.qids)):
+                mask = np.isin(cells, self.probes[qi])
+                if not mask.any():
+                    continue
+                sims = en[mask] @ self.qn[qi]
+                ids = vec_ids[mask]
+                kk = min(k + 1, len(sims))
+                part = (
+                    np.argpartition(-sims, kk - 1)[:kk]
+                    if kk < len(sims)
+                    else np.arange(len(sims))
+                )
+                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
+                out_n.append(ids[part].astype(np.int64))
+                out_s.append(sims[part])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "cos_sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                    "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
+    return partial.groupby("query_id").map_groups(
+        _topk_merge(k, exclude_self=True), batch_format="pyarrow"
+    )

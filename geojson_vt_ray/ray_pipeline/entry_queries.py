@@ -345,6 +345,107 @@ def q_img_cluster(sf_dir: str):
     )
 
 
+def q_tpch_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary on the exact integer domain
+    (cents / e4 / e6) — partial aggregation per batch, tiny groupby."""
+    from .relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+    return pricing_summary(li)
+
+
+def q_tpch_revenue_nation(sf_dir: str):
+    """Revenue per nation/region: broadcast dimension-chain join (customer→
+    nation→region collapsed to one lookup) over the streaming orders fact."""
+    import pyarrow.parquet as pq
+
+    from .relational import revenue_by_nation
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    return revenue_by_nation(orders, customer, nation, region)
+
+
+def q_tpch_top_customers(sf_dir: str):
+    """Distributed top-3 customers by account balance per nation (batch-local
+    top-k before the shuffle; rank assigned in the per-group merge)."""
+    from .relational import topk_per_group
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    return topk_per_group(
+        cust,
+        key="c_nationkey",
+        order_col="c_acctbal",
+        k=3,
+        tie_col="c_custkey",
+        out_cols=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based sessionization (30-minute gap): one row per (user, session)
+    with start/end/count — single groupby(user) shuffle."""
+    from .events import sessionize
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return sessionize(events)
+
+
+def q_events_distinct_users(sf_dir: str):
+    """Exact distinct users per hourly window (batch-local pair dedup before
+    the shuffle)."""
+    from .events import distinct_users_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return distinct_users_window(events, window_seconds=3600)
+
+
+def q_events_hll_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per hourly window (non-SQL:
+    approximate by design; accuracy asserted vs the exact operator in
+    tests)."""
+    from .events import hll_users_window
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return hll_users_window(events, window_seconds=3600)
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF-flat ANN top-k (coarse spherical-kmeans codebook, nprobe cells
+    per query; non-SQL: recall measured against brute force in tests)."""
+    import pyarrow.parquet as pq
+
+    from .ann import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_ids = t.column("vec_id").to_numpy()
+    qmask = vec_ids % 50 == 0
+    qids = vec_ids[qmask]
+    col = t.column("embedding").combine_chunks()
+    values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = col.offsets.to_numpy()[1]
+    qvecs = values.reshape(len(vec_ids), dim)[qmask]
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(emb, qvecs, qids, k=5, n_centroids=64, nprobe=16)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
@@ -370,6 +471,13 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "emb_near_dup": q_emb_near_dup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_bpe_tokens": q_doc_bpe_tokens,
+    "tpch_pricing": q_tpch_pricing,
+    "tpch_revenue_nation": q_tpch_revenue_nation,
+    "tpch_top_customers": q_tpch_top_customers,
+    "events_sessions": q_events_sessions,
+    "events_distinct_users": q_events_distinct_users,
+    "events_hll_users": q_events_hll_users,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -625,5 +733,62 @@ ORACLES: dict[str, str] = {
                  ) AS rn
           FROM q, v WHERE v.vec_id != q.vec_id
         ) WHERE rn <= 5
+    """,
+    "tpch_pricing": """
+        WITH li AS (
+          SELECT l_returnflag, l_linestatus,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                 CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+                 CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_p,
+                 CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_p
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00')
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(qty) AS BIGINT) AS sum_qty,
+               CAST(SUM(price_c) AS BIGINT) AS sum_base_price_cents,
+               CAST(SUM(price_c * (100 - disc_p)) AS BIGINT) AS sum_disc_price_e4,
+               CAST(SUM(price_c * (100 - disc_p) * (100 + tax_p)) AS BIGINT) AS sum_charge_e6,
+               COUNT(*) AS n_rows,
+               CAST(CAST(SUM(qty) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM li GROUP BY 1, 2
+    """,
+    "tpch_revenue_nation": """
+        SELECT n.n_name, r.r_name,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               COUNT(*) AS n_orders
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    """,
+    "tpch_top_customers": """
+        SELECT c_custkey, c_nationkey, c_acctbal, rn AS rank FROM (
+          SELECT c_custkey, c_nationkey, c_acctbal,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ) AS rn
+          FROM customer
+        ) WHERE rn <= 3
+    """,
+    "events_sessions": """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        g AS (SELECT user_id, us,
+                     CASE WHEN us - LAG(us) OVER w > 1800000000
+                            OR LAG(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        s AS (SELECT user_id, us,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+               MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+               COUNT(*) AS n_events
+        FROM s GROUP BY user_id, sid
+    """,
+    "events_distinct_users": """
+        SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
     """,
 }

@@ -55,6 +55,163 @@ def tumbling_window_stats(
     )
 
 
+def sessionize(
+    events: "ray.data.Dataset", gap_us: int = 1_800_000_000
+) -> "ray.data.Dataset":
+    """Gap-based sessionization: one output row per (user, session), where a
+    session breaks whenever consecutive events of a user are more than
+    ``gap_us`` apart (classic 30-minute web-session semantics — an operator
+    Ray Data has no native window for).
+
+    Shape: project to (user_id, epoch_us) in a map stage, then ONE
+    ``groupby(user_id)`` shuffle with a vectorized diff/cumsum per group.
+    Scale note: a pathologically hot user serializes in one group; the
+    scale path salts on (user, day-bucket) and merges boundary sessions
+    with a tiny per-user pass — not needed at tested cardinalities.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "us": pc.cast(batch.column("ts"), pa.int64()),
+            }
+        )
+
+    def per_user(g: pa.Table) -> pa.Table:
+        us = np.sort(g.column("us").to_numpy())
+        new_session = np.concatenate(([True], np.diff(us) > gap_us))
+        starts = np.nonzero(new_session)[0]
+        ends = np.append(starts[1:], len(us)) - 1
+        uid = g.column("user_id")[0].as_py()
+        n = len(starts)
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(n, uid, dtype=np.int64)),
+                "session_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "session_start_us": pa.array(us[starts], pa.int64()),
+                "session_end_us": pa.array(us[ends], pa.int64()),
+                "n_events": pa.array(np.diff(np.append(starts, len(us))), pa.int64()),
+            }
+        )
+
+    return events.map_batches(project, batch_format="pyarrow").groupby("user_id").map_groups(
+        per_user, batch_format="pyarrow"
+    )
+
+
+def distinct_users_window(
+    events: "ray.data.Dataset", window_seconds: int = 3600
+) -> "ray.data.Dataset":
+    """Exact distinct users per tumbling window. Each batch first dedupes
+    its own (window, user) pairs — the shuffle then moves at most one row
+    per pair per batch — and the per-window merge counts uniques."""
+    win_us = window_seconds * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64())
+        win = pc.multiply(pc.divide(ts, win_us), win_us)
+        t = pa.table({"window_start_us": win, "user_id": batch.column("user_id")})
+        return t.group_by(["window_start_us", "user_id"]).aggregate([])
+
+    def merge(g: pa.Table) -> pa.Table:
+        n = len(np.unique(g.column("user_id").to_numpy()))
+        return pa.table(
+            {
+                "window_start_us": pa.array([g.column("window_start_us")[0].as_py()], pa.int64()),
+                "n_users": pa.array([n], pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix64 finalizer), vectorized."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def hll_users_window(
+    events: "ray.data.Dataset", window_seconds: int = 3600, p: int = 10
+) -> "ray.data.Dataset":
+    """Approximate distinct users per tumbling window with a HyperLogLog
+    sketch (2^p byte registers). The sketch is the point at 100 TB: each
+    batch emits ONE fixed-size register row per window regardless of row
+    count, register merges are elementwise max (associative, any order),
+    and the estimate uses the standard bias-corrected harmonic mean with
+    the linear-counting small-range correction.
+
+    Accuracy ~1.04/sqrt(2^p) (≈3.3% at p=10); verified against the exact
+    operator in tests. No SQL oracle — approximation is the semantics.
+    """
+    win_us = window_seconds * 1_000_000
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        win = (ts // win_us) * win_us
+        h = _splitmix64(batch.column("user_id").to_numpy())
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)
+        # rank = leading zeros of the remaining 64-p bits, + 1 (capped)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p, dtype=np.int64)
+        # count leading zeros via float64 exponent trick is lossy; use a
+        # 16-bit-at-a-time table-free loop (4 iterations, vectorized)
+        v = rest.copy()
+        lzc = np.zeros(len(h), dtype=np.int64)
+        for s in (32, 16, 8, 4, 2, 1):
+            top = v >> np.uint64(64 - s)
+            zero_top = top == 0
+            lzc += np.where(zero_top, s, 0)
+            v = np.where(zero_top, v << np.uint64(s), v)
+        lz[nz] = np.minimum(lzc[nz], 64 - p)
+        rank = (lz + 1).astype(np.uint8)
+
+        wins, inv = np.unique(win, return_inverse=True)
+        regs = np.zeros((len(wins), m), dtype=np.uint8)
+        np.maximum.at(regs, (inv, idx), rank)
+        return pa.table(
+            {
+                "window_start_us": pa.array(wins, pa.int64()),
+                "registers": pa.FixedSizeListArray.from_arrays(
+                    pa.array(regs.reshape(-1), pa.uint8()), m
+                ),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        col = g.column("registers")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        regs = col.values.to_numpy(zero_copy_only=False).reshape(len(g), m)
+        merged = regs.max(axis=0)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(np.float64(2.0) ** -merged.astype(np.float64))
+        zeros = int((merged == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)  # linear counting
+        return pa.table(
+            {
+                "window_start_us": pa.array([g.column("window_start_us")[0].as_py()], pa.int64()),
+                "n_users_hll": pa.array([int(round(est))], pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def asof_join_latest(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
