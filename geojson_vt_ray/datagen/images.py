@@ -162,3 +162,43 @@ def synth_image_table(indices: np.ndarray, with_bytes: bool = True) -> pa.Table:
         for r in rows:
             r["bytes"] = b""
     return pa.Table.from_pylist(rows, schema=IMAGE_SCHEMA)
+
+
+def synth_video_row(i: int, n_frames: int = 8) -> dict:
+    """Deterministic 'video': n_frames encoded frames (the frame pixels vary
+    by frame index) concatenated behind a u32 frame-count + u32-length index
+    header — enough container structure to exercise real demux plumbing."""
+    w, h = image_size(i)
+    blobs = [
+        encode_image(synth_pixels(i + 1000003 * f, w, h), "raw" if f % 2 == 0 else "qlossy")
+        for f in range(n_frames)
+    ]
+    header = np.array([n_frames] + [len(b) for b in blobs], dtype="<u4").tobytes()
+    return {
+        "video_id": f"vid-{i:012d}",
+        "n_frames": n_frames,
+        "w": w,
+        "h": h,
+        "bytes": header + b"".join(blobs),
+    }
+
+
+def demux_video(data: bytes) -> list[bytes]:
+    """Split a synthesized video container back into encoded frame blobs."""
+    n = int(np.frombuffer(data[:4], dtype="<u4")[0])
+    lens = np.frombuffer(data[4 : 4 + 4 * n], dtype="<u4").astype(np.int64)
+    offs = 4 + 4 * n + np.concatenate(([0], np.cumsum(lens)))
+    return [data[int(offs[f]) : int(offs[f + 1])] for f in range(n)]
+
+
+def synth_video_table(indices: np.ndarray, n_frames: int = 8) -> pa.Table:
+    rows = [synth_video_row(int(i), n_frames) for i in indices]
+    return pa.table(
+        {
+            "video_id": pa.array([r["video_id"] for r in rows], pa.string()),
+            "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
+            "w": pa.array([r["w"] for r in rows], pa.int32()),
+            "h": pa.array([r["h"] for r in rows], pa.int32()),
+            "bytes": pa.array([r["bytes"] for r in rows], pa.binary()),
+        }
+    )

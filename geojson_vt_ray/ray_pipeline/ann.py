@@ -25,8 +25,11 @@ def _emb_matrix(batch: pa.Table) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     values = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    offsets = col.offsets.to_numpy()
-    dim = offsets[1] - offsets[0]
+    if pa.types.is_fixed_size_list(col.type):
+        dim = col.type.list_size
+    else:
+        offsets = col.offsets.to_numpy()
+        dim = offsets[1] - offsets[0]
     return values.reshape(len(col), dim)
 
 

@@ -446,6 +446,64 @@ def q_ann_ivf_topk(sf_dir: str):
     return ivf_topk(emb, qvecs, qids, k=5, n_centroids=64, nprobe=16)
 
 
+def q_img_embed_topk(sf_dir: str):
+    """Vision-encoder stand-in end-to-end: actor-pool decode → grid-pool
+    embedding → brute-force cosine top-k over the extracted vectors
+    (non-SQL: exercises the binary-payload → embedding → ANN chain)."""
+    import pyarrow.parquet as pq
+
+    from ..datagen.images import synth_image_table
+    from .ann import brute_force_topk
+    from .images import image_embeddings
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_image_table(batch.column("doc_id").to_numpy() + 1, with_bytes=True)
+
+    images = docs.map_batches(synth, batch_format="pyarrow", batch_size=512)
+    embs = image_embeddings(images, grid=4)
+
+    def to_vec_rows(batch: pa.Table) -> pa.Table:
+        ids = [int(s[4:]) for s in batch.column("image_id").to_pylist()]
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "embedding": batch.column("embedding")}
+        )
+
+    vecs = embs.map_batches(to_vec_rows, batch_format="pyarrow")
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    qidx = np.arange(1, n_docs + 1, max(1, n_docs // 8))
+    from ..datagen.images import image_size, synth_pixels
+
+    qvecs = []
+    for i in qidx:
+        w, h = image_size(int(i))
+        px = synth_pixels(int(i), w, h).astype(np.float64)
+        ys = (np.arange(h) * 4) // h
+        xs = (np.arange(w) * 4) // w
+        pooled = np.zeros((3, 4, 4))
+        counts = np.zeros((4, 4))
+        np.add.at(counts, (ys[:, None], xs[None, :]), 1.0)
+        for c in range(3):
+            np.add.at(pooled[c], (ys[:, None], xs[None, :]), px[c])
+        v = (pooled / counts).reshape(-1)
+        v = v / np.linalg.norm(v)
+        # match float32 storage of the embedding column
+        qvecs.append(v.astype(np.float32).astype(np.float64))
+    return brute_force_topk(vecs, np.asarray(qvecs), qidx.astype(np.int64), k=5)
+
+
+def q_video_frames(sf_dir: str):
+    """Frame sampling over synthesized video containers: demux every 2nd
+    frame, emit per-frame channel means (non-SQL: binary demux path)."""
+    from .images import sampled_frames, video_dataset
+
+    import pyarrow.parquet as pq
+
+    n = min(200, pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    return sampled_frames(video_dataset(n, n_frames=8), stride=2)
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
@@ -478,6 +536,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_distinct_users": q_events_distinct_users,
     "events_hll_users": q_events_hll_users,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "img_embed_topk": q_img_embed_topk,
+    "video_frames": q_video_frames,
 }
 
 

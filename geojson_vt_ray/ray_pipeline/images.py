@@ -75,3 +75,157 @@ def with_mercator(images: "ray.data.Dataset") -> "ray.data.Dataset":
         return batch.append_column("mx", pa.array(mx)).append_column("my", pa.array(my))
 
     return images.map_batches(fn, batch_format="pyarrow")
+
+
+class ImageResizer:
+    """Actor-pool decode → nearest-neighbor resize → re-encode stage.
+
+    Deterministic floor-index sampling (``(arange(tw) * w) // tw``) keeps
+    the output reproducible across workers; each image is re-encoded in its
+    original format so downstream decoders see the same container. The
+    resized payload replaces ``bytes`` in place — a typical thumbnailing
+    stage for a multimodal training pipeline. Binary payloads never leave
+    the stage except as the (smaller) output column.
+    """
+
+    def __init__(self, target_w: int = 16, target_h: int = 16) -> None:
+        from ..datagen.images import decode_image, encode_image
+
+        self.tw, self.th = target_w, target_h
+        self.decode, self.encode = decode_image, encode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out = []
+        for blob, fmt in zip(blobs, fmts):
+            px = self.decode(blob)
+            _, h, w = px.shape
+            xi = (np.arange(self.tw) * w) // self.tw
+            yi = (np.arange(self.th) * h) // self.th
+            out.append(self.encode(px[:, yi[:, None], xi[None, :]], fmt))
+        t = batch.drop_columns(["bytes", "w", "h"])
+        t = t.append_column("w", pa.array(np.full(len(out), self.tw, dtype=np.int32)))
+        t = t.append_column("h", pa.array(np.full(len(out), self.th, dtype=np.int32)))
+        return t.append_column("bytes", pa.array(out, pa.binary()))
+
+
+def resized_images(
+    images: "ray.data.Dataset", target_w: int = 16, target_h: int = 16, concurrency=(1, 32)
+) -> "ray.data.Dataset":
+    return images.map_batches(
+        ImageResizer,
+        fn_constructor_args=(target_w, target_h),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+
+class ImageEmbedder:
+    """Actor-pool feature extraction: decode → grid mean-pool → unit-norm
+    embedding (3 channels × g×g blocks). A deterministic stand-in for a
+    vision encoder with the real Ray plumbing: per-actor state in
+    ``__init__``, fixed-dim ``list<float>`` output column ready for the
+    ANN / near-dup operators."""
+
+    def __init__(self, grid: int = 4) -> None:
+        from ..datagen.images import decode_image
+
+        self.grid = grid
+        self.decode = decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        g = self.grid
+        blobs = batch.column("bytes").to_pylist()
+        dim = 3 * g * g
+        embs = np.empty((len(blobs), dim), dtype=np.float32)
+        for j, blob in enumerate(blobs):
+            px = self.decode(blob).astype(np.float64)
+            _, h, w = px.shape
+            ys = (np.arange(h) * g) // h
+            xs = (np.arange(w) * g) // w
+            pooled = np.zeros((3, g, g))
+            counts = np.zeros((g, g))
+            np.add.at(counts, (ys[:, None], xs[None, :]), 1.0)
+            for c in range(3):
+                np.add.at(pooled[c], (ys[:, None], xs[None, :]), px[c])
+            v = (pooled / counts).reshape(-1)
+            n = np.linalg.norm(v)
+            embs[j] = (v / n if n > 0 else v).astype(np.float32)
+        out = batch.drop_columns(["bytes"])
+        return out.append_column(
+            "embedding",
+            pa.FixedSizeListArray.from_arrays(pa.array(embs.reshape(-1), pa.float32()), dim),
+        )
+
+
+def image_embeddings(
+    images: "ray.data.Dataset", grid: int = 4, concurrency=(1, 32)
+) -> "ray.data.Dataset":
+    return images.map_batches(
+        ImageEmbedder,
+        fn_constructor_args=(grid,),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+
+def video_dataset(n: int, n_frames: int = 8) -> "ray.data.Dataset":
+    """Distributed deterministic synthesis of an n-row video table."""
+    from ..datagen.images import synth_video_table
+
+    def synth(batch: pa.Table) -> pa.Table:
+        return synth_video_table(batch.column("id").to_numpy(), n_frames)
+
+    return ray.data.range(n).map_batches(synth, batch_format="pyarrow", batch_size=256)
+
+
+class FrameSampler:
+    """Actor-pool demux + frame sampling: every ``stride``-th frame of each
+    video container becomes one output row (video_id, frame_idx, decoded
+    channel means). A 1→N batch transform over opaque binary payloads —
+    the video blob never leaves the stage."""
+
+    def __init__(self, stride: int = 2) -> None:
+        from ..datagen.images import decode_image, demux_video
+
+        self.stride = stride
+        self.demux, self.decode = demux_video, decode_image
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        out_v: list[str] = []
+        out_f: list[int] = []
+        means: list[np.ndarray] = []
+        for vid, blob in zip(vids, blobs):
+            frames = self.demux(blob)
+            for f in range(0, len(frames), self.stride):
+                px = self.decode(frames[f])
+                out_v.append(vid)
+                out_f.append(f)
+                means.append(px.reshape(3, -1).mean(axis=1))
+        m = np.asarray(means) if means else np.empty((0, 3))
+        return pa.table(
+            {
+                "video_id": pa.array(out_v, pa.string()),
+                "frame_idx": pa.array(out_f, pa.int64()),
+                "mean_r": pa.array(m[:, 0], pa.float64()),
+                "mean_g": pa.array(m[:, 1], pa.float64()),
+                "mean_b": pa.array(m[:, 2], pa.float64()),
+            }
+        )
+
+
+def sampled_frames(
+    videos: "ray.data.Dataset", stride: int = 2, concurrency=(1, 32)
+) -> "ray.data.Dataset":
+    return videos.map_batches(
+        FrameSampler,
+        fn_constructor_args=(stride,),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=concurrency,
+    )
