@@ -235,6 +235,47 @@ def slice_polygons_to_tiles(features: list[dict], z: int, extent: int = 4096) ->
     return tiles
 
 
+_EDGE_TABLE_CACHE: dict = {}
+
+
+def _tile_edge_table(cache_key: tuple, polys: list) -> tuple:
+    """Per-tile edge table, built once per worker process and cached: all
+    rings of all polygons concatenated into flat edge arrays with the edge
+    slope dx/dy precomputed (the division leaves the per-point hot loop),
+    plus reduceat segment offsets mapping edges back to polygons."""
+    tbl = _EDGE_TABLE_CACHE.get(cache_key)
+    if tbl is not None:
+        return tbl
+    xs_l, ys_l, y1_l, dxdy_l, counts, pids = [], [], [], [], [], []
+    for pid, rings in polys:
+        n_edges = 0
+        for ring in rings:
+            xs = ring[:-1, 0]
+            ys = ring[:-1, 1]
+            x1 = ring[1:, 0]
+            y1 = ring[1:, 1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dxdy = (x1 - xs) / (y1 - ys)
+            xs_l.append(xs)
+            ys_l.append(ys)
+            y1_l.append(y1)
+            dxdy_l.append(dxdy)
+            n_edges += len(xs)
+        counts.append(n_edges)
+        pids.append(int(pid))
+    offsets = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    tbl = (
+        np.concatenate(xs_l),
+        np.concatenate(ys_l),
+        np.concatenate(y1_l),
+        np.concatenate(dxdy_l),
+        offsets,
+        np.asarray(pids, dtype=np.int64),
+    )
+    _EDGE_TABLE_CACHE[cache_key] = tbl
+    return tbl
+
+
 def pip_join_world(
     points: "ray.data.Dataset", tile_polys: dict, z: int
 ) -> "ray.data.Dataset":
@@ -243,8 +284,12 @@ def pip_join_world(
 
     Task-based broadcast (`ray.put` once, `ray.get` per task — local
     zero-copy) so parallelism follows the cluster, not a pool size; the
-    ray-cast is vectorized per (tile, polygon) over all of the batch's points
-    in that tile.
+    ray-cast runs ONE vectorized pass per tile over a cached edge table
+    covering every ring of every polygon (slopes precomputed — no division
+    per point), with a segmented reduction assigning crossing parity per
+    polygon. Axis-aligned (rect) edges produce bit-identical results to the
+    per-ring formulation: vertical edges contribute dxdy = 0 exactly and
+    horizontal edges never pass the span test.
     """
     index_ref = ray.put(tile_polys)
 
@@ -268,29 +313,22 @@ def pip_join_world(
         for bi in range(len(bounds) - 1):
             sl = order[bounds[bi] : bounds[bi + 1]]
             key = sorted_keys[bounds[bi]]
-            polys = tiles.get((int(key & np.uint64(0xFFFFFFFF)), int(key >> np.uint64(32))))
+            txy = (int(key & np.uint64(0xFFFFFFFF)), int(key >> np.uint64(32)))
+            polys = tiles.get(txy)
             if not polys:
                 continue
-            px = mx[sl]
-            py = my[sl]
-            for pid, rings in polys:
-                inside = np.zeros(len(sl), dtype=bool)
-                for ring in rings:
-                    xs = ring[:-1, 0][None, :]
-                    ys = ring[:-1, 1][None, :]
-                    x1 = ring[1:, 0][None, :]
-                    y1 = ring[1:, 1][None, :]
-                    pyc = py[:, None]
-                    pxc = px[:, None]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cross = ((ys > pyc) != (y1 > pyc)) & (
-                            pxc < (x1 - xs) * (pyc - ys) / (y1 - ys) + xs
-                        )
-                    inside ^= (cross.sum(axis=1) % 2).astype(bool)
-                hit = np.nonzero(inside)[0]
-                if len(hit):
-                    out_idx.append(sl[hit])
-                    out_rect.append(np.full(len(hit), int(pid), dtype=np.int64))
+            xs, ys, y1, dxdy, offsets, pids = _tile_edge_table((id(tiles),) + txy, polys)
+            pyc = my[sl][:, None]
+            pxc = mx[sl][:, None]
+            # span test first; NaN/inf from degenerate slopes compare False
+            cross = ((ys[None, :] > pyc) != (y1[None, :] > pyc)) & (
+                pxc < dxdy[None, :] * (pyc - ys[None, :]) + xs[None, :]
+            )
+            crossings = np.add.reduceat(cross.astype(np.int32), offsets, axis=1)
+            pi, pj = np.nonzero(crossings & 1)
+            if len(pi):
+                out_idx.append(sl[pi])
+                out_rect.append(pids[pj])
         if not out_idx:
             return pa.table(
                 {"image_id": pa.array([], pa.string()), "rect_id": pa.array([], pa.int64())}
