@@ -52,11 +52,17 @@ def with_tile_xy(images: "ray.data.Dataset", z: int) -> "ray.data.Dataset":
     return images.map_batches(fn, batch_format="pyarrow")
 
 
-def rect_contain_join(points: "ray.data.Dataset", rects: dict[str, np.ndarray]) -> "ray.data.Dataset":
+def rect_contain_join(
+    points: "ray.data.Dataset", rects: dict[str, np.ndarray], grid: int = 512
+) -> "ray.data.Dataset":
     """images × rectangle layer containment join (broadcast small side).
 
     Emits (image_id, rect_id) pairs where the image's mercator point lies in
-    [x0, x1) × [y0, y1).
+    [x0, x1) × [y0, y1). An x-axis interval grid over the rectangles is
+    built once per actor: each point only tests the rects registered in its
+    grid cell (identical comparisons on a pruned candidate set), so the
+    per-batch work is O(points × rects-per-cell) instead of
+    O(points × rects).
     """
     rects_ref = ray.put(rects)
 
@@ -66,32 +72,60 @@ def rect_contain_join(points: "ray.data.Dataset", rects: dict[str, np.ndarray]) 
             self.rect_id = r["rect_id"]
             self.x0, self.x1 = r["x0"], r["x1"]
             self.y0, self.y1 = r["y0"], r["y1"]
+            self.grid = grid
+            c0 = np.clip((self.x0 * grid).astype(np.int64), 0, grid - 1)
+            c1 = np.clip((self.x1 * grid).astype(np.int64), 0, grid - 1)
+            counts = np.zeros(grid, dtype=np.int64)
+            for j in range(len(self.rect_id)):
+                counts[c0[j] : c1[j] + 1] += 1
+            self.cell_offsets = np.concatenate(([0], np.cumsum(counts)))
+            flat = np.empty(self.cell_offsets[-1], dtype=np.int64)
+            cursor = self.cell_offsets[:-1].copy()
+            for j in range(len(self.rect_id)):
+                for c in range(c0[j], c1[j] + 1):
+                    flat[cursor[c]] = j
+                    cursor[c] += 1
+            self.cell_rects = flat
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             from ..datagen.images import mercator_xy
 
             mx, my = mercator_xy(batch.column("phash").to_numpy())
             ids = batch.column("image_id")
-            out_img: list = []
-            out_rect: list = []
-            # R is small (broadcast side); vectorize over the point axis
-            for j in range(len(self.rect_id)):
+            cells = np.clip((mx * self.grid).astype(np.int64), 0, self.grid - 1)
+            order = np.argsort(cells, kind="stable")
+            sc = cells[order]
+            starts = np.nonzero(np.concatenate(([True], sc[1:] != sc[:-1])))[0]
+            starts = np.append(starts, len(sc))
+            out_idx: list[np.ndarray] = []
+            out_rect: list[np.ndarray] = []
+            for bi in range(len(starts) - 1):
+                sl = order[starts[bi] : starts[bi + 1]]
+                c = sc[starts[bi]]
+                cand = self.cell_rects[self.cell_offsets[c] : self.cell_offsets[c + 1]]
+                if not len(cand):
+                    continue
+                pxc = mx[sl][:, None]
+                pyc = my[sl][:, None]
                 mask = (
-                    (mx >= self.x0[j]) & (mx < self.x1[j]) & (my >= self.y0[j]) & (my < self.y1[j])
+                    (pxc >= self.x0[cand][None, :])
+                    & (pxc < self.x1[cand][None, :])
+                    & (pyc >= self.y0[cand][None, :])
+                    & (pyc < self.y1[cand][None, :])
                 )
-                idx = np.nonzero(mask)[0]
-                if len(idx):
-                    out_img.append(ids.take(pa.array(idx)))
-                    out_rect.append(np.full(len(idx), self.rect_id[j], dtype=np.int64))
-            if not out_img:
+                pi, pj = np.nonzero(mask)
+                if len(pi):
+                    out_idx.append(sl[pi])
+                    out_rect.append(self.rect_id[cand[pj]].astype(np.int64))
+            if not out_idx:
                 return pa.table(
                     {"image_id": pa.array([], pa.string()), "rect_id": pa.array([], pa.int64())}
                 )
+            col = ids.take(pa.array(np.concatenate(out_idx)))
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
             return pa.table(
-                {
-                    "image_id": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in out_img]),
-                    "rect_id": pa.array(np.concatenate(out_rect)),
-                }
+                {"image_id": col, "rect_id": pa.array(np.concatenate(out_rect))}
             )
 
     return points.map_batches(RectJoin, batch_format="pyarrow", concurrency=(1, 32))
