@@ -504,6 +504,58 @@ def q_video_frames(sf_dir: str):
     return sampled_frames(video_dataset(n, n_frames=8), stride=2)
 
 
+def q_tpch_priority_revenue(sf_dir: str):
+    """Big-big co-group join (lineitem × orders on orderkey, neither side
+    broadcast) → discounted revenue per order priority."""
+    from .relational import order_revenue_by_priority
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    return order_revenue_by_priority(li, orders)
+
+
+def q_tpch_cumulative_revenue(sf_dir: str):
+    """Ordered running revenue total per customer (window-function class:
+    one groupby(custkey) shuffle + per-group sort/cumsum on exact cents)."""
+    from .relational import _int_col, cumulative_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    return cumulative_per_group(
+        orders,
+        key="o_custkey",
+        order_cols=["o_orderdate", "o_orderkey"],
+        value_expr=lambda b: _int_col(b, "o_totalprice", 100.0),
+        out_cols=[],
+        cum_name="cum_revenue_cents",
+    )
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic hash sample (10%) of the documents table — the
+    reproducible-sampling primitive for training-data splits; oracle uses
+    the identical md5-derived bucket."""
+    from .text import md5_u64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        keep = np.fromiter(
+            (md5_u64(str(i).encode()) % 10 == 0 for i in ids), count=len(ids), dtype=bool
+        )
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
@@ -538,6 +590,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "img_embed_topk": q_img_embed_topk,
     "video_frames": q_video_frames,
+    "tpch_priority_revenue": q_tpch_priority_revenue,
+    "tpch_cumulative_revenue": q_tpch_cumulative_revenue,
+    "doc_sample": q_doc_sample,
 }
 
 
@@ -850,5 +905,26 @@ ORACLES: dict[str, str] = {
         SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
                COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY 1
+    """,
+    "tpch_priority_revenue": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+                 AS revenue_e4,
+               COUNT(*) AS n_lineitems
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    "tpch_cumulative_revenue": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_revenue_cents
+        FROM orders
+    """,
+    "doc_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 10 = 0
     """,
 }

@@ -212,3 +212,170 @@ def topk_per_group(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby(key).map_groups(merge, batch_format="pyarrow")
+
+
+def cogroup_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    left_cols: list[str],
+    right_cols: list[str],
+) -> "ray.data.Dataset":
+    """Big-big inner equi-join via co-grouping: both sides are tagged and
+    unioned, then ONE ``groupby(key)`` shuffle co-locates each key's rows
+    and a per-group cross of the two sides emits the join. This is the
+    join shape when neither side fits a broadcast — only the join key
+    co-partitions rows, and each group's output is produced with two
+    vectorized ``np.repeat``/``np.tile`` gathers (no row loop).
+
+    Scale note: one pathological key serializes in its group — salt the
+    hot key by replicating the smaller side across salt buckets when key
+    skew is known. Column sets are pruned before the shuffle.
+    """
+
+    # unified schema on both sides: key + left payload + right payload
+    # (typed nulls on the absent side) — avoids schema-divergent unions
+    def project(side: int, my_cols: list[str], other_cols: list[str], other_schema):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols: dict = {"__key": batch.column(key)}
+            for c in my_cols:
+                cols[("L" if side == 0 else "R") + c] = batch.column(c)
+            for c in other_cols:
+                cols[("R" if side == 0 else "L") + c] = pa.nulls(
+                    batch.num_rows, other_schema[c]
+                )
+            cols["__side"] = pa.array(
+                np.full(batch.num_rows, side, dtype=np.int8)
+            )
+            return pa.table(cols)
+
+        return fn
+
+    l_schema = {f.name: f.type for f in left.schema().base_schema}
+    r_schema = {f.name: f.type for f in right.schema().base_schema}
+    tagged = left.map_batches(
+        project(0, left_cols, right_cols, r_schema), batch_format="pyarrow"
+    ).union(
+        right.map_batches(project(1, right_cols, left_cols, l_schema), batch_format="pyarrow")
+    )
+
+    out_names = [f"L{c}" for c in left_cols] + [f"R{c}" for c in right_cols]
+
+    def join_group(g: pa.Table) -> pa.Table:
+        side = g.column("__side").to_numpy()
+        li = np.nonzero(side == 0)[0]
+        ri = np.nonzero(side == 1)[0]
+        if not len(li) or not len(ri):
+            cols = {"__key": g.column("__key").slice(0, 0)}
+            for c in left_cols:
+                cols[f"L{c}"] = g.column(f"L{c}").slice(0, 0)
+            for c in right_cols:
+                cols[f"R{c}"] = g.column(f"R{c}").slice(0, 0)
+            return pa.table(cols)
+        # cross product of the key group, vectorized
+        lrep = np.repeat(li, len(ri))
+        rrep = np.tile(ri, len(li))
+        cols = {"__key": g.column("__key").take(pa.array(lrep))}
+        for c in left_cols:
+            cols[f"L{c}"] = g.column(f"L{c}").take(pa.array(lrep))
+        for c in right_cols:
+            cols[f"R{c}"] = g.column(f"R{c}").take(pa.array(rrep))
+        return pa.table(cols)
+
+    joined = tagged.groupby("__key").map_groups(join_group, batch_format="pyarrow")
+    return joined
+
+
+def order_revenue_by_priority(
+    lineitem: "ray.data.Dataset", orders: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Revenue (discounted, e4 integer domain) per order priority through a
+    big-big co-group join of lineitem x orders on orderkey, pre-aggregated
+    per key group before the final tiny groupby."""
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        price_c = _int_col(batch, "l_extendedprice", 100.0)
+        disc_p = _int_col(batch, "l_discount", 100.0)
+        rev = pc.multiply(price_c, pc.subtract(100, disc_p))
+        t = pa.table({"l_orderkey": batch.column("l_orderkey"), "rev_e4": rev})
+        agg = t.group_by(["l_orderkey"]).aggregate([("rev_e4", "sum"), ("rev_e4", "count")])
+        return agg.rename_columns(["l_orderkey", "rev_e4", "n_items"])
+
+    li = lineitem.map_batches(li_partial, batch_format="pyarrow")
+    joined = cogroup_join(
+        li.map_batches(
+            lambda b: b.rename_columns(["okey", "rev_e4", "n_items"]),
+            batch_format="pyarrow",
+        ),
+        orders.map_batches(
+            lambda b: pa.table(
+                {"okey": b.column("o_orderkey"), "prio": b.column("o_orderpriority")}
+            ),
+            batch_format="pyarrow",
+        ),
+        key="okey",
+        left_cols=["rev_e4", "n_items"],
+        right_cols=["prio"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch.column("Rprio"),
+                "rev": batch.column("Lrev_e4"),
+                "n": batch.column("Ln_items"),
+            }
+        )
+        agg = t.group_by(["o_orderpriority"]).aggregate([("rev", "sum"), ("n", "sum")])
+        return agg.rename_columns(["o_orderpriority", "p_rev", "p_n"])
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("p_rev", alias_name="revenue_e4"),
+            Sum("p_n", alias_name="n_lineitems"),
+        )
+    )
+
+
+def cumulative_per_group(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_cols: list[str],
+    value_expr,
+    out_cols: list[str],
+    cum_name: str = "cum_value",
+) -> "ray.data.Dataset":
+    """Ordered running total per group (integer domain → exact): one
+    ``groupby(key)`` shuffle, per-group lexsort by ``order_cols`` and a
+    cumsum. ``value_expr(batch) -> pa.Array`` computes the summand before
+    the shuffle so only (key, order, value, out) columns move."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        cols = {key: batch.column(key)}
+        for c in order_cols:
+            cols[c] = batch.column(c)
+        for c in out_cols:
+            cols[c] = batch.column(c)
+        cols["__val"] = value_expr(batch)
+        return pa.table(cols)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        keys = tuple(
+            g.column(c).to_numpy()
+            if not pa.types.is_timestamp(g.schema.field(c).type)
+            else g.column(c).to_numpy().astype("int64")
+            for c in reversed(order_cols)
+        )
+        order = np.lexsort(keys)
+        g = g.take(pa.array(order))
+        cum = np.cumsum(g.column("__val").to_numpy())
+        out = g.drop_columns(["__val"])
+        return out.append_column(cum_name, pa.array(cum, pa.int64()))
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(per_group, batch_format="pyarrow")
+    )

@@ -208,3 +208,67 @@ def test_ivf_recall_vs_bruteforce(ray_session):
     for q, n, s in zip(ivf.query_id, ivf.neighbor_id, ivf.cos_sim):
         if (q, n) in bfm:
             assert s == pytest.approx(bfm[(q, n)], rel=1e-12)
+
+
+def test_cogroup_join_cross_product_and_drop(ray_session):
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.relational import cogroup_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2, 3], pa.int64()),
+                  "a": pa.array([10, 11, 20, 30], pa.int64())})
+    ).repartition(3)
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 1, 2, 4], pa.int64()),
+                  "b": pa.array(["x", "y", "z", "w"], pa.string())})
+    ).repartition(2)
+    out = cogroup_join(left, right, "k", ["a"], ["b"]).to_pandas()
+    out = out.sort_values(["__key", "La", "Rb"]).reset_index(drop=True)
+    # k=1: 2x2 cross; k=2: 1x1; k=3 and k=4: dropped (inner join)
+    assert len(out) == 5
+    assert list(out["__key"]) == [1, 1, 1, 1, 2]
+    assert set(zip(out["La"], out["Rb"])) == {(10, "x"), (10, "y"), (11, "x"), (11, "y"), (20, "z")}
+
+
+def test_priority_revenue_matches_duckdb(ray_session):
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.entry_queries import ORACLES
+    from geojson_vt_ray.ray_pipeline.relational import order_revenue_by_priority
+
+    li = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = _norm(order_revenue_by_priority(li, orders).to_pandas())
+    want = _norm(_duck(ORACLES["tpch_priority_revenue"]))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_cumulative_revenue_matches_duckdb(ray_session):
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.entry_queries import ORACLES
+    from geojson_vt_ray.ray_pipeline.relational import _int_col, cumulative_per_group
+
+    orders = ray.data.read_parquet(f"{SF}/orders.parquet")
+    got = _norm(
+        cumulative_per_group(
+            orders,
+            key="o_custkey",
+            order_cols=["o_orderdate", "o_orderkey"],
+            value_expr=lambda b: _int_col(b, "o_totalprice", 100.0),
+            out_cols=[],
+            cum_name="cum_revenue_cents",
+        ).to_pandas()
+    )
+    want = _norm(_duck(ORACLES["tpch_cumulative_revenue"]))
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_doc_sample_deterministic(ray_session):
+    from geojson_vt_ray.ray_pipeline.entry_queries import QUERIES
+
+    a = _norm(QUERIES["doc_sample"](SF).to_pandas())
+    b = _norm(QUERIES["doc_sample"](SF).to_pandas())
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert 0 < len(a) < 500  # ~10% of the table
