@@ -556,6 +556,66 @@ def q_doc_sample(sf_dir: str):
     return docs.map_batches(fn, batch_format="pyarrow")
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact per-group quantiles (median / p90 of document length): one
+    groupby(lang) shuffle of the two pruned columns, per-group sort +
+    linear interpolation matching quantile_cont bit-for-bit. Scale note:
+    for groups too large to co-locate, the sketch path is a t-digest /
+    fixed-bin histogram partial — exactness is the point here."""
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+
+    def per_lang(g: pa.Table) -> pa.Table:
+        a = np.sort(g.column("n_chars").to_numpy().astype(np.float64))
+
+        def qc(q: float) -> float:
+            # symmetric lerp — the exact expression quantile_cont evaluates
+            idx = (len(a) - 1) * q
+            lo = int(np.floor(idx))
+            hi = int(np.ceil(idx))
+            frac = idx - lo
+            return a[lo] * (1 - frac) + a[hi] * frac
+
+        return pa.table(
+            {
+                "lang": pa.array([g.column("lang")[0].as_py()], pa.string()),
+                "median_chars": pa.array([qc(0.5)], pa.float64()),
+                "p90_chars": pa.array([qc(0.9)], pa.float64()),
+                "n_docs": pa.array([len(a)], pa.int64()),
+            }
+        )
+
+    return docs.groupby("lang").map_groups(per_lang, batch_format="pyarrow")
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Stratified deterministic sample: 20 documents per language selected
+    by md5-derived order (reusing the distributed top-k-per-group
+    operator) — the reproducible per-class subsampling primitive."""
+    from .relational import topk_per_group
+    from .text import md5_u64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = np.fromiter(
+            (md5_u64(str(i).encode()) % (1 << 63) for i in ids),
+            count=len(ids),
+            dtype=np.int64,
+        )
+        return batch.append_column("h", pa.array(h, pa.int64()))
+
+    return topk_per_group(
+        docs.map_batches(with_hash, batch_format="pyarrow"),
+        key="lang",
+        order_col="h",
+        k=20,
+        tie_col="doc_id",
+        out_cols=["doc_id", "lang", "h"],
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
@@ -593,6 +653,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tpch_priority_revenue": q_tpch_priority_revenue,
     "tpch_cumulative_revenue": q_tpch_cumulative_revenue,
     "doc_sample": q_doc_sample,
+    "doc_length_quantiles": q_doc_length_quantiles,
+    "doc_stratified_sample": q_doc_stratified_sample,
 }
 
 
@@ -926,5 +988,21 @@ ORACLES: dict[str, str] = {
     "doc_sample": """
         SELECT doc_id, lang FROM documents
         WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 10 = 0
+    """,
+    "doc_length_quantiles": """
+        SELECT lang, median(CAST(n_chars AS DOUBLE)) AS median_chars,
+               quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY lang
+    """,
+    "doc_stratified_sample": """
+        SELECT doc_id, lang, h, rn AS rank FROM (
+          SELECT doc_id, lang, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rn
+          FROM (SELECT doc_id, lang,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                            % 9223372036854775808 AS BIGINT) AS h
+                FROM documents)
+        ) WHERE rn <= 20
     """,
 }

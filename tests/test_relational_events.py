@@ -272,3 +272,38 @@ def test_doc_sample_deterministic(ray_session):
     b = _norm(QUERIES["doc_sample"](SF).to_pandas())
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert 0 < len(a) < 500  # ~10% of the table
+
+
+def test_length_quantiles_matches_duckdb(ray_session):
+    from geojson_vt_ray.ray_pipeline.entry_queries import ORACLES, QUERIES
+
+    got = _norm(QUERIES["doc_length_quantiles"](SF).to_pandas())
+    want = _norm(
+        duckdb.connect()
+        .execute(
+            ORACLES["doc_length_quantiles"].replace(
+                "documents", f"'{SF}/documents.parquet'"
+            )
+        )
+        .df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_stratified_sample_matches_duckdb(ray_session):
+    from geojson_vt_ray.ray_pipeline.entry_queries import ORACLES, QUERIES
+
+    got = _norm(QUERIES["doc_stratified_sample"](SF).to_pandas())
+    want = _norm(
+        duckdb.connect()
+        .execute(
+            ORACLES["doc_stratified_sample"].replace(
+                "FROM documents", f"FROM '{SF}/documents.parquet'"
+            )
+        )
+        .df()
+    )
+    want["rank"] = want["rank"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+    # every language stratum is capped at 20
+    assert (got.groupby("lang").size() <= 20).all()
