@@ -1,0 +1,185 @@
+"""Cell-index spatial stages: curve-cell assignment and co-partitioned
+per-cell joins (the "both sides large" scale path).
+
+`knn_join` (spatial.py) broadcasts the query side — right when queries
+are a handful. When BOTH sides are large (the north-rule regime: every
+image row queries its neighborhood at 10^12 rows), nothing may be
+broadcast: both sides hash-partition by curve cell and each cell joins
+locally against a 3×3 halo. Exactness contract: with `radius ≤ 1/2^level`
+(one cell side), every true neighbor within `radius` lies in the 3×3
+halo, so the per-cell join is exhaustive — no recall loss, unlike
+LSH-style candidate generation.
+
+At 100 TB the groupby key is the hilbert id: contiguous key ranges are
+spatially compact, so range-partitioned shards keep halo traffic local.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..kernels.cells import (
+    cell_neighbors,
+    hilbert_encode,
+    morton_encode,
+)
+
+
+def with_cell_id(
+    ds: "ray.data.Dataset", level: int, curve: str = "hilbert"
+) -> "ray.data.Dataset":
+    """Add grid coords (cx, cy) and the curve cell id at `level` to a
+    phash-georeferenced dataset. curve ∈ {"hilbert", "morton"}."""
+    from ..datagen.images import tile_xy
+
+    if curve not in ("hilbert", "morton"):
+        raise ValueError(f"unknown curve {curve!r}")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cx, cy = tile_xy(batch.column("phash").to_numpy(), level)
+        if curve == "hilbert":
+            cid = hilbert_encode(cx, cy, level)
+        else:
+            cid = morton_encode(cx, cy)
+        return batch.append_column("cx", pa.array(cx)).append_column(
+            "cy", pa.array(cy)
+        ).append_column("cell", pa.array(cid.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cell_counts(
+    ds: "ray.data.Dataset", level: int, curve: str = "morton"
+) -> "ray.data.Dataset":
+    """Rows per curve cell at `level` (native groupby.count — partial
+    aggregation happens inside Ray's Aggregate, only (cell, count) pairs
+    shuffle)."""
+    tagged = with_cell_id(ds, level, curve).select_columns(["cell"])
+    return tagged.groupby("cell").count()
+
+
+def knn_radius_join_cells(
+    points: "ray.data.Dataset",
+    queries: "ray.data.Dataset",
+    radius: float,
+    k: int,
+    level: int | None = None,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Exact radius-bounded kNN with BOTH sides distributed.
+
+    points:  (image_id: string, phash: int64) — the searched corpus.
+    queries: (query_id: int64, phash: int64) — one row per query point.
+    Result:  per query, the ≤ k nearest points with d² ≤ radius², ordered
+             by (d², neighbor_id) — same tie rule as `knn_join`.
+
+    Shape: points tag into their own cell (1 row each); queries replicate
+    into their 3×3 halo (≤ 9 rows each); one groupby(cell) co-partitions
+    both sides; each group brute-forces its Q_g × P_g block vectorized;
+    only (query_id, neighbor_id, d²) survivor rows — already filtered to
+    the radius — reach the tiny per-query top-k merge. No broadcast, no
+    driver materialization; cost scales with occupancy density, not n².
+    """
+    from ..datagen.images import mercator_xy, tile_xy
+
+    if level is None:
+        # largest (finest) grid whose cell side still covers the radius,
+        # so the 3x3 halo is a superset of every radius ball
+        level = max(0, int(np.floor(np.log2(1.0 / radius))))
+    if radius > 1.0 / (1 << level):
+        raise ValueError(
+            f"radius {radius} exceeds cell side at level {level}; halo would miss neighbors"
+        )
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy()
+        cx, cy = tile_xy(ph, level)
+        mx, my = mercator_xy(ph)
+        key = hilbert_encode(cx, cy, level).astype(np.int64)
+        n = len(key)
+        return pa.table(
+            {
+                "cell": pa.array(key),
+                "is_query": pa.array(np.zeros(n, dtype=bool)),
+                "image_id": batch.column("image_id"),
+                "query_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+            }
+        )
+
+    def tag_queries(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy()
+        qid = batch.column("query_id").to_numpy()
+        cx, cy = tile_xy(ph, level)
+        mx, my = mercator_xy(ph)
+        idx, nx, ny = cell_neighbors(cx, cy, level, include_self=True)
+        key = hilbert_encode(nx, ny, level).astype(np.int64)
+        n = len(idx)
+        return pa.table(
+            {
+                "cell": pa.array(key),
+                "is_query": pa.array(np.ones(n, dtype=bool)),
+                "image_id": pa.array([""] * n, pa.string()),
+                "query_id": pa.array(qid[idx]),
+                "mx": pa.array(mx[idx]),
+                "my": pa.array(my[idx]),
+            }
+        )
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        queries.map_batches(tag_queries, batch_format="pyarrow")
+    )
+
+    r2 = radius * radius
+
+    def join_group(g: pa.Table) -> pa.Table:
+        is_q = g.column("is_query").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.string()),
+                "d2": pa.array([], pa.float64()),
+            }
+        )
+        if is_q.all() or not is_q.any():
+            return empty
+        mx = g.column("mx").to_numpy()
+        my = g.column("my").to_numpy()
+        q_idx = np.nonzero(is_q)[0]
+        p_idx = np.nonzero(~is_q)[0]
+        dx = mx[q_idx][:, None] - mx[p_idx][None, :]
+        dy = my[q_idx][:, None] - my[p_idx][None, :]
+        d2 = dx * dx + dy * dy
+        qi, pi = np.nonzero(d2 <= r2)
+        if len(qi) == 0:
+            return empty
+        qids = g.column("query_id").to_numpy()[q_idx[qi]]
+        ids_arr = g.column("image_id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        return pa.table(
+            {
+                "query_id": pa.array(qids, pa.int64()),
+                "neighbor_id": ids_arr.take(pa.array(p_idx[pi])),
+                "d2": pa.array(d2[qi, pi], pa.float64()),
+            }
+        )
+
+    survivors = tagged.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+
+    import pyarrow.compute as pc
+
+    def topk(g: pa.Table) -> pa.Table:
+        if exclude_self:
+            qid = int(g.column("query_id")[0].as_py())
+            g = g.filter(pc.not_equal(g.column("neighbor_id"), f"img-{qid:012d}"))
+        idx = pc.sort_indices(
+            g, sort_keys=[("d2", "ascending"), ("neighbor_id", "ascending")]
+        )
+        return g.take(idx[:k])
+
+    return survivors.groupby("query_id").map_groups(topk, batch_format="pyarrow")

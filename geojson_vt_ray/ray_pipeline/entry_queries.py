@@ -126,6 +126,55 @@ def q_img_knn(sf_dir: str):
     return knn_join(_image_points(sf_dir), qph, qidx, k=5)
 
 
+def q_img_knn_radius(sf_dir: str):
+    """Radius-bounded kNN with BOTH sides distributed: co-partitioned by
+    hilbert cell + 3×3 halo replication of the query side (`cells.py`).
+    Same query set / tie rule as `img_knn`, capped at d ≤ 0.05."""
+    import pyarrow.parquet as pq
+
+    from ..datagen.images import phash_of_index_vec
+    from .cells import knn_radius_join_cells
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    qidx = doc_ids[doc_ids % 97 == 0] + 1
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qidx.astype(np.int64)),
+                "phash": pa.array(phash_of_index_vec(qidx)),
+            }
+        )
+    )
+    return knn_radius_join_cells(
+        _image_points(sf_dir), queries, radius=0.05, k=5
+    ).select_columns(["query_id", "neighbor_id", "d2"])
+
+
+def q_img_cell_assign(sf_dir: str):
+    """Morton (Z-order) cell id at level 8 per image — the SQL-oracled
+    face of the curve-cell index (hilbert is pytest-verified against a
+    scalar reference; SQL can't express the quadrant-rotation walk)."""
+    from .cells import with_cell_id
+
+    ds = with_cell_id(_image_points(sf_dir), level=8, curve="morton")
+    return ds.select_columns(["image_id", "cell"])
+
+
+def q_img_cell_counts(sf_dir: str):
+    """Occupancy histogram of level-6 morton cells (native partial-agg
+    groupby: only (cell, count) pairs shuffle)."""
+    from .cells import cell_counts
+
+    ds = cell_counts(_image_points(sf_dir), level=6, curve="morton")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["cell", "n_images"])
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def q_doc_token_stats(sf_dir: str):
     from .text import token_stats
 
@@ -622,6 +671,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_rect_join": q_img_rect_join,
     "img_pip_rects": q_img_pip_rects,
     "img_knn": q_img_knn,
+    "img_knn_radius": q_img_knn_radius,
+    "img_cell_assign": q_img_cell_assign,
+    "img_cell_counts": q_img_cell_counts,
     "img_decode_stats": q_img_decode_stats,
     "rect_pyramid": q_rect_pyramid,
     "rect_raster": q_rect_raster,
@@ -718,6 +770,20 @@ def _minhash_oracle_sql(n_perm: int = 64, bands: int = 16, shingle_k: int = 3) -
     """
 
 
+def _morton_cte(level: int) -> str:
+    """Chained spread-bits CTEs: morton-interleave the level-``level`` tile
+    coords of each image (ring-equal to `kernels.cells.morton_encode` for
+    level ≤ 8 — the 0x0F0F/0x3333/0x5555 magic-mask cascade)."""
+    return f"""
+c0 AS (SELECT {IMG_ID} AS image_id,
+              CAST({LNG} >> {32 - level} AS BIGINT) AS x,
+              CAST({LAT} >> {31 - level} AS BIGINT) AS y
+       FROM documents),
+c1 AS (SELECT image_id, (x | (x << 4)) & 3855 AS x, (y | (y << 4)) & 3855 AS y FROM c0),
+c2 AS (SELECT image_id, (x | (x << 2)) & 13107 AS x, (y | (y << 2)) & 13107 AS y FROM c1),
+c3 AS (SELECT image_id, (x | (x << 1)) & 21845 AS x, (y | (y << 1)) & 21845 AS y FROM c2)"""
+
+
 _STOPWORDS_SQL = ", ".join(
     f"'{w}'"
     for w in "the a an and or of to in is are was were be been it this that with for on as at by".split()
@@ -764,6 +830,31 @@ ORACLES: dict[str, str] = {
                  ) AS rn
           FROM img i, q WHERE i.idx != q.idx
         ) WHERE rn <= 5
+    """,
+    "img_knn_radius": f"""
+        WITH {IMG_SQL_CTE},
+        q AS (SELECT * FROM img WHERE (idx - 1) % 97 = 0)
+        SELECT query_id, neighbor_id, d2 FROM (
+          SELECT q.idx AS query_id, i.image_id AS neighbor_id,
+                 (i.mx - q.mx) * (i.mx - q.mx) + (i.my - q.my) * (i.my - q.my) AS d2,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.idx
+                   ORDER BY (i.mx - q.mx) * (i.mx - q.mx) + (i.my - q.my) * (i.my - q.my),
+                            i.image_id
+                 ) AS rn
+          FROM img i, q
+          WHERE i.idx != q.idx
+            AND (i.mx - q.mx) * (i.mx - q.mx) + (i.my - q.my) * (i.my - q.my)
+                <= 0.05 * 0.05
+        ) WHERE rn <= 5
+    """,
+    "img_cell_assign": f"""
+        WITH {_morton_cte(8)}
+        SELECT image_id, x | (y << 1) AS cell FROM c3
+    """,
+    "img_cell_counts": f"""
+        WITH {_morton_cte(6)}
+        SELECT x | (y << 1) AS cell, count(*) AS n_images FROM c3 GROUP BY 1
     """,
     "doc_token_stats": """
         SELECT doc_id,

@@ -1,0 +1,197 @@
+"""Curve-cell kernels + co-partitioned per-cell radius-kNN join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geojson_vt_ray.kernels.cells import (
+    cell_children,
+    cell_neighbors,
+    cell_parent,
+    hilbert_decode,
+    hilbert_encode,
+    morton_decode,
+    morton_encode,
+)
+
+
+def _hilbert_xy2d_scalar(level: int, x: int, y: int) -> int:
+    # classical bit-at-a-time reference walk (independent of the
+    # vectorized implementation under test)
+    d = 0
+    s = 1 << (level - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_morton_matches_bit_interleave():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1 << 16, 200, dtype=np.uint64)
+    y = rng.integers(0, 1 << 16, 200, dtype=np.uint64)
+    codes = morton_encode(x, y)
+    for xi, yi, ci in zip(x.tolist(), y.tolist(), codes.tolist()):
+        expect = 0
+        for b in range(16):
+            expect |= ((xi >> b) & 1) << (2 * b)
+            expect |= ((yi >> b) & 1) << (2 * b + 1)
+        assert ci == expect
+
+
+def test_morton_roundtrip_wide():
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1 << 30, 5000, dtype=np.uint64)
+    y = rng.integers(0, 1 << 30, 5000, dtype=np.uint64)
+    dx, dy = morton_decode(morton_encode(x, y))
+    assert np.array_equal(dx, x) and np.array_equal(dy, y)
+
+
+@pytest.mark.parametrize("level", [1, 2, 3, 5, 8])
+def test_hilbert_matches_scalar_reference(level):
+    n = 1 << level
+    rng = np.random.default_rng(level)
+    x = rng.integers(0, n, 300, dtype=np.uint64)
+    y = rng.integers(0, n, 300, dtype=np.uint64)
+    d = hilbert_encode(x, y, level)
+    for xi, yi, di in zip(x.tolist(), y.tolist(), d.tolist()):
+        assert di == _hilbert_xy2d_scalar(level, xi, yi)
+
+
+def test_hilbert_bijection_and_adjacency():
+    level = 4
+    n = 1 << level
+    gx, gy = np.meshgrid(np.arange(n, dtype=np.uint64), np.arange(n, dtype=np.uint64))
+    d = hilbert_encode(gx.ravel(), gy.ravel(), level)
+    assert sorted(d.tolist()) == list(range(n * n))  # bijection
+    # walk the curve: consecutive ids are 4-neighbors (the locality
+    # property that makes hilbert ranges good shuffle partitions)
+    xs, ys = hilbert_decode(np.arange(n * n, dtype=np.uint64), level)
+    step = np.abs(np.diff(xs.astype(np.int64))) + np.abs(np.diff(ys.astype(np.int64)))
+    assert (step == 1).all()
+
+
+def test_hilbert_roundtrip_high_level():
+    rng = np.random.default_rng(3)
+    level = 20
+    x = rng.integers(0, 1 << level, 2000, dtype=np.uint64)
+    y = rng.integers(0, 1 << level, 2000, dtype=np.uint64)
+    dx, dy = hilbert_decode(hilbert_encode(x, y, level), level)
+    assert np.array_equal(dx, x) and np.array_equal(dy, y)
+
+
+def test_parent_children():
+    cx, cy = cell_parent(np.array([13]), np.array([6]), 2)
+    assert (cx[0], cy[0]) == (3, 1)
+    kids = cell_children(3, 1)
+    assert set(kids) == {(6, 2), (7, 2), (6, 3), (7, 3)}
+    for kx, ky in kids:
+        px, py = cell_parent(np.array([kx]), np.array([ky]), 1)
+        assert (px[0], py[0]) == (3, 1)
+
+
+def test_neighbors_wrap_and_clamp():
+    level = 3  # 8x8 grid
+    idx, nx, ny = cell_neighbors(np.array([0]), np.array([0]), level)
+    got = set(zip(nx.tolist(), ny.tolist()))
+    # y=-1 row clamped away; x=-1 wraps to 7
+    assert got == {(7, 0), (0, 0), (1, 0), (7, 1), (0, 1), (1, 1)}
+    assert (idx == 0).all()
+    idx, nx, ny = cell_neighbors(np.array([4]), np.array([7]), level)
+    got = set(zip(nx.tolist(), ny.tolist()))
+    assert got == {(3, 6), (4, 6), (5, 6), (3, 7), (4, 7), (5, 7)}
+
+
+def _point_table(idx: np.ndarray) -> pa.Table:
+    from geojson_vt_ray.datagen.images import phash_of_index_vec
+
+    ph = phash_of_index_vec(idx)
+    ids = [f"img-{i:012d}" for i in idx.tolist()]
+    return pa.table({"image_id": pa.array(ids, pa.string()), "phash": pa.array(ph)})
+
+
+def test_knn_radius_join_cells_matches_bruteforce(ray_session):
+    import ray
+
+    from geojson_vt_ray.datagen.images import mercator_xy, phash_of_index_vec
+    from geojson_vt_ray.ray_pipeline.cells import knn_radius_join_cells
+
+    idx = np.arange(1, 1201, dtype=np.int64)
+    q_idx = idx[(idx - 1) % 53 == 0]
+    points = ray.data.from_arrow(_point_table(idx)).repartition(6)
+    q_ph = phash_of_index_vec(q_idx)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(q_idx), "phash": pa.array(q_ph)})
+    ).repartition(2)
+
+    radius, k = 0.01, 5
+    got = (
+        knn_radius_join_cells(points, queries, radius=radius, k=k)
+        .to_pandas()
+        .sort_values(["query_id", "d2", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+    mx, my = mercator_xy(phash_of_index_vec(idx))
+    qmx, qmy = mercator_xy(q_ph)
+    rows = []
+    for qi, (qx, qy) in zip(q_idx.tolist(), zip(qmx, qmy)):
+        d2 = (mx - qx) ** 2 + (my - qy) ** 2
+        order = np.lexsort((idx, d2))
+        taken = 0
+        for j in order:
+            if idx[j] == qi:
+                continue
+            if d2[j] > radius * radius or taken >= k:
+                break
+            rows.append((qi, f"img-{idx[j]:012d}", d2[j]))
+            taken += 1
+    assert len(got) == len(rows)
+    for (_, r), (qi, nid, d2v) in zip(got.iterrows(), rows):
+        assert r.query_id == qi and r.neighbor_id == nid
+        assert r.d2 == d2v  # exact dyadic arithmetic, bit-equal
+
+
+def test_knn_radius_join_rejects_oversized_radius(ray_session):
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.cells import knn_radius_join_cells
+
+    ds = ray.data.from_arrow(_point_table(np.arange(1, 10)))
+    q = ray.data.from_arrow(
+        pa.table({"query_id": pa.array([1]), "phash": pa.array([0], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        knn_radius_join_cells(ds, q, radius=0.5, k=3, level=4)
+
+
+def test_with_cell_id_and_counts(ray_session):
+    import ray
+
+    from geojson_vt_ray.datagen.images import phash_of_index_vec, tile_xy
+    from geojson_vt_ray.ray_pipeline.cells import cell_counts, with_cell_id
+
+    idx = np.arange(1, 400, dtype=np.int64)
+    ds = ray.data.from_arrow(_point_table(idx))
+    level = 6
+    tagged = with_cell_id(ds, level, curve="hilbert").to_pandas()
+    cx, cy = tile_xy(phash_of_index_vec(idx), level)
+    by_id = tagged.set_index("image_id")
+    expect = hilbert_encode(cx, cy, level).astype(np.int64)
+    for i, e, ex, ey in zip(idx.tolist(), expect.tolist(), cx.tolist(), cy.tolist()):
+        row = by_id.loc[f"img-{i:012d}"]
+        assert (row.cell, row.cx, row.cy) == (e, ex, ey)
+
+    counts = cell_counts(ds, level, curve="morton").to_pandas()
+    codes = morton_encode(cx.astype(np.uint64), cy.astype(np.uint64)).astype(np.int64)
+    vals, cnts = np.unique(codes, return_counts=True)
+    got = counts.sort_values("cell").reset_index(drop=True)
+    assert np.array_equal(got["cell"].to_numpy(), vals)
+    assert np.array_equal(got["count()"].to_numpy(), cnts)
