@@ -435,12 +435,21 @@ class TileServer:
 
         for path, fixed_z in files:
             cols = ["x", "y"] if fixed_z is not None else ["z", "x", "y"]
+            is_update = os.sep + "_updates" + os.sep in path
+            if is_update:
+                cols = cols + ["num_features"]
             t = pq.read_table(path, columns=cols)
             xs = t.column("x").to_pylist()
             ys = t.column("y").to_pylist()
             zs = t.column("z").to_pylist() if fixed_z is None else [fixed_z] * len(xs)
+            # tombstone rows (num_features < 0) mean the tile ceased to exist
+            # in this update: drop the key instead of pointing at the row
+            nf = t.column("num_features").to_pylist() if is_update else None
             for i in range(len(xs)):
-                self._index[(zs[i], xs[i], ys[i])] = (path, i, fixed_z)
+                if nf is not None and nf[i] < 0:
+                    self._index.pop((zs[i], xs[i], ys[i]), None)
+                else:
+                    self._index[(zs[i], xs[i], ys[i])] = (path, i, fixed_z)
 
     def _rows(self, path: str) -> list:
         rows = self._cache.get(path)
@@ -475,6 +484,131 @@ class TileServer:
             "numSimplified": nsi[i],
             "numFeatures": nfe[i],
         }
+
+
+def compact_pyramid_updates(out_dir: str) -> dict:
+    """Merge ``_updates/upd_*`` overlays back into the base ``bins/`` pyramid.
+
+    Overlays are great for serving but accumulate: every `TileServer` start
+    pays one extra file scan per update, and resume manifests only describe
+    the base. Compaction folds them in with newest-wins semantics (later
+    ``upd_`` directory wins per (z, x, y); tombstone rows — num_features < 0
+    — delete the base tile) and removes ``_updates/``.
+
+    Scale shape: only the bins that an update actually touched are rewritten
+    — one Ray task per affected bin reads that partition's base files plus
+    its slice of the update rows and writes a single merged file. Untouched
+    partitions (the overwhelming majority under a small diff) are never read.
+    The merged file is written under a temp name and promoted with
+    ``os.replace``; old part files are removed only after promotion, and the
+    merged name sorts after them so a crash mid-compaction still serves
+    newest-wins.
+    """
+    import glob
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import ray
+
+    upd_dirs = sorted(glob.glob(os.path.join(out_dir, "_updates", "upd_*")))
+    if not upd_dirs:
+        return {"updates": 0, "compacted_bins": 0}
+
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if not os.path.exists(plan_path):
+        raise ValueError(
+            "compact_pyramid_updates requires the fast-sink layout "
+            "(out/_plan.json + out/bins/skey=*) written by write_pyramid_fast"
+        )
+    with open(plan_path) as f:
+        plan = json.load(f)
+    n_bins = int(plan["n_bins"])
+    bins_map = {int(k): int(v) for k, v in plan["bins"].items()}
+    # all plan keys sit at the hand-off zoom: z is packed in the low 5 bits
+    zh = next(iter(bins_map)) % 32 if bins_map else 0
+
+    def row_bin(z: int, x: int, y: int) -> int:
+        from ..arrowio.codec import tile_key
+
+        if z >= zh:
+            tk = tile_key(zh, x >> (z - zh), y >> (z - zh))
+            b = bins_map.get(tk)
+            if b is not None:
+                return b
+        else:
+            tk = tile_key(z, x, y)
+        # shallow tiles (and unknown subtrees) use the same hash fallback as
+        # the writer's add_bin stage
+        return int((tk * 0x9E3779B97F4A7C15) % (1 << 62)) % n_bins
+
+    # updates are O(affected tiles) by construction — read them once,
+    # newest-wins per key, group rows by destination bin
+    per_bin: dict[int, dict[tuple[int, int, int], Optional[dict]]] = {}
+    for upd in upd_dirs:
+        for part in sorted(glob.glob(os.path.join(upd, "**", "*.parquet"), recursive=True)):
+            for row in pq.read_table(part, columns=TILE_COLUMNS).to_pylist():
+                key = (row["z"], row["x"], row["y"])
+                b = row_bin(*key)
+                per_bin.setdefault(b, {})[key] = (
+                    None if row["num_features"] < 0 else row
+                )
+
+    @ray.remote
+    def compact_bin(b: int, updates: dict) -> int:
+        part_dir = os.path.join(out_dir, "bins", f"skey={b}")
+        os.makedirs(part_dir, exist_ok=True)
+        old = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
+        merged: dict[tuple[int, int, int], dict] = {}
+        for p in old:
+            for row in pq.read_table(p, columns=TILE_COLUMNS).to_pylist():
+                merged[(row["z"], row["x"], row["y"])] = row
+        for key, row in updates.items():
+            if row is None:
+                merged.pop(key, None)
+            else:
+                merged[key] = row
+        rows = sorted(merged.values(), key=lambda r: (r["z"], r["x"], r["y"]))
+        table = pa.table(
+            {
+                "z": pa.array([r["z"] for r in rows], pa.int16()),
+                "x": pa.array([r["x"] for r in rows], pa.int32()),
+                "y": pa.array([r["y"] for r in rows], pa.int32()),
+                "features_json": pa.array([r["features_json"] for r in rows], pa.string()),
+                "num_points": pa.array([r["num_points"] for r in rows], pa.int64()),
+                "num_simplified": pa.array([r["num_simplified"] for r in rows], pa.int64()),
+                "num_features": pa.array([r["num_features"] for r in rows], pa.int64()),
+                "min_seq": pa.array([r["min_seq"] for r in rows], pa.binary()),
+                "max_seq": pa.array([r["max_seq"] for r in rows], pa.binary()),
+            }
+        )
+        tmp = os.path.join(part_dir, "_compact.tmp")
+        pq.write_table(table, tmp)
+        # 'zz-compact' sorts after Ray's part files, so a crash that leaves
+        # both still resolves newest-wins in TileServer's sorted scan
+        os.replace(tmp, os.path.join(part_dir, "zz-compact.parquet"))
+        for p in old:
+            if os.path.basename(p) != "zz-compact.parquet":
+                os.remove(p)
+        return len(rows)
+
+    refs = [compact_bin.remote(b, updates) for b, updates in per_bin.items()]
+    counts = ray.get(refs)
+
+    shutil.rmtree(os.path.join(out_dir, "_updates"))
+    # refresh the overall tile-count manifest
+    total = 0
+    for part in glob.glob(os.path.join(out_dir, "bins", "skey=*", "*.parquet")):
+        total += pq.ParquetFile(part).metadata.num_rows
+    with open(os.path.join(out_dir, "_pyramid.done"), "w") as f:
+        f.write(str(total))
+    return {
+        "updates": len(upd_dirs),
+        "compacted_bins": len(per_bin),
+        "tiles": total,
+        "bin_tiles": dict(zip(per_bin.keys(), counts)),
+    }
 
 
 KIND_CHUNK = 4  # pickled feature-chunk of a heavy tile, drilled in a map stage
@@ -1056,6 +1190,12 @@ def build_pyramid_fast(
             ),
             batch_format="pyarrow",
         ).to_pandas()
+        if t.empty or "tkey" not in t.columns:
+            # an update that empties every affected subtree leaves no
+            # hand-off markers at all (schema-less empty frame)
+            import pandas as pd
+
+            return pd.Series(dtype=np.float64)
         return t.groupby("tkey")["est"].sum()
 
     per_tile = _collect_est(cur)

@@ -180,8 +180,39 @@ def incremental_update_pyramid(
     seq = len(glob.glob(os.path.join(out_dir, "_updates", "upd_*")))
     target = os.path.join(out_dir, "_updates", f"upd_{seq:04d}")
     changed.write_parquet(target)
+
+    # Tombstones: an affected key with no rebuilt tile means the tile ceased
+    # to exist (e.g. every feature in it was removed). Without an explicit
+    # marker the overlay would keep serving the stale base tile. Emitted as
+    # num_features = -1 rows; TileServer drops the key, compaction drops the
+    # base row. The scan reads only the written key columns (O(affected)).
+    import pyarrow.parquet as _pq
+
+    written: set[tuple[int, int, int]] = set()
+    for p in glob.glob(os.path.join(target, "*.parquet")):
+        t = _pq.read_table(p, columns=["z", "x", "y"])
+        written.update(
+            zip(*(t.column(c).to_pylist() for c in ("z", "x", "y")))
+        )
+    missing = sorted(keys - written)
+    if missing:
+        t = pa.table(
+            {
+                "z": pa.array([k[0] for k in missing], pa.int16()),
+                "x": pa.array([k[1] for k in missing], pa.int32()),
+                "y": pa.array([k[2] for k in missing], pa.int32()),
+                "features_json": pa.array(["[]"] * len(missing), pa.string()),
+                "num_points": pa.array([0] * len(missing), pa.int64()),
+                "num_simplified": pa.array([0] * len(missing), pa.int64()),
+                "num_features": pa.array([-1] * len(missing), pa.int64()),
+                "min_seq": pa.array([b""] * len(missing), pa.binary()),
+                "max_seq": pa.array([b""] * len(missing), pa.binary()),
+            }
+        )
+        _pq.write_table(t, os.path.join(target, "tombstones.parquet"))
     return {
         "affected_tiles": len(keys),
         "affected_subtrees": len(sub_keys),
+        "tombstones": len(missing),
         "update_dir": target,
     }

@@ -133,3 +133,98 @@ def test_incremental_update_overlay_and_pruning(ray_session, tmp_path):
             assert _json.loads(_json.dumps(st["features"])) == _json.loads(
                 _json.dumps(lt["features"])
             ), (z, x, y)
+
+
+def test_update_remove_writes_tombstones(ray_session, tmp_path):
+    """Removing the only feature in a subtree must stop TileServer from
+    serving the stale base tiles (reference: after updateData removes a
+    feature, getTile no longer returns its tiles)."""
+    import json as _json
+
+    from geojson_vt_ray.engine import LocalGeoJSONVT
+    from geojson_vt_ray.ray_pipeline.cascade import TileServer, write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.incremental import incremental_update_pyramid
+
+    options = TilerOptions(max_zoom=5)
+    feats = [_point(1, 0.5, 0.5), _point(2, 100, 45), _point(4, 101, 44)]
+    src = _rows(feats)
+    out = str(tmp_path / "pyr")
+    write_pyramid_fast(src, TilerOptions(max_zoom=5), out, z_handoff=3)
+
+    base = TileServer(out)
+    assert base.get_tile(5, 16, 15) is not None  # point 1 lives here
+
+    res = incremental_update_pyramid(src, {"remove": [1]}, options, out, z_handoff=3)
+    assert res["tombstones"] > 0
+
+    server = TileServer(out)
+    patched = {"type": "FeatureCollection", "features": feats[1:]}
+    local = LocalGeoJSONVT(patched, options.with_(index_max_zoom=0, index_max_points=0))
+    for (z, x, y) in ((0, 0, 0), (1, 0, 0), (3, 4, 3), (5, 16, 15), (5, 24, 11), (3, 6, 2)):
+        lt = local.get_tile(z, x, y)
+        st = server.get_tile(z, x, y)
+        if lt is None:
+            assert st is None or st["features"] == [], (z, x, y)
+        else:
+            assert st is not None, (z, x, y)
+            assert _json.loads(_json.dumps(st["features"])) == _json.loads(
+                _json.dumps(lt["features"])
+            ), (z, x, y)
+
+
+def test_compact_pyramid_updates(ray_session, tmp_path):
+    """Compaction folds overlays into the base bins: served tiles identical,
+    _updates removed, bins untouched by the diff never rewritten."""
+    import glob
+    import os
+
+    from geojson_vt_ray.ray_pipeline.cascade import (
+        TileServer,
+        compact_pyramid_updates,
+        write_pyramid_fast,
+    )
+    from geojson_vt_ray.ray_pipeline.incremental import incremental_update_pyramid
+
+    options = TilerOptions(max_zoom=5)
+    feats = [_point(1, 0.5, 0.5), _point(2, 100, 45), _point(4, 101, 44)]
+    src = _rows(feats)
+    out = str(tmp_path / "pyr")
+    write_pyramid_fast(src, TilerOptions(max_zoom=5), out, z_handoff=3)
+
+    incremental_update_pyramid(src, {"remove": [1]}, options, out, z_handoff=3)
+    incremental_update_pyramid(
+        _rows(feats[1:]), {"add": [_point(7, 0.7, 0.7)]}, options, out, z_handoff=3
+    )
+
+    overlaid = TileServer(out)
+    probes = [
+        (0, 0, 0), (1, 0, 0), (2, 2, 1), (3, 4, 3),
+        (5, 16, 15), (5, 24, 11), (3, 6, 2), (4, 8, 7),
+    ]
+    expect = {p: overlaid.get_tile(*p) for p in probes}
+
+    mtimes = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(out, "bins", "skey=*", "*.parquet"))
+    }
+    stats = compact_pyramid_updates(out)
+    assert stats["updates"] == 2
+    assert not os.path.exists(os.path.join(out, "_updates"))
+
+    compacted = TileServer(out)
+    for p in probes:
+        got = compacted.get_tile(*p)
+        if expect[p] is None:
+            assert got is None, p
+        else:
+            assert got == expect[p], p
+
+    # bins the updates never touched keep their original part files
+    touched = set(stats["bin_tiles"])
+    for path, mt in mtimes.items():
+        b = int(path.split("skey=")[1].split(os.sep)[0])
+        if b not in touched:
+            assert os.path.exists(path) and os.path.getmtime(path) == mt, path
+
+    # idempotent no-op on a second call
+    assert compact_pyramid_updates(out)["updates"] == 0
