@@ -383,6 +383,24 @@ def q_rect_raster(sf_dir: str):
     return rasterize_tiles(tiles, size=64).select_columns(["z", "x", "y", "coverage"])
 
 
+def q_rect_vectorize(sf_dir: str):
+    """Raster → vector polygonization of the rasterized rectangle tiles
+    (the inverse direction of `rect_raster`; round-trip bit-exactness is the
+    pytest oracle — re-rasterizing the rings reproduces each mask)."""
+    from ..datagen.rects import rect_geojson
+    from ..options import TilerOptions
+    from .raster import rasterize_tiles, vectorize_tiles
+    from .tiler import build_tiles, dataset_from_geojson
+
+    keys = _part_keys(sf_dir)
+    gj = rect_geojson(keys[:200])
+    tiles = build_tiles(dataset_from_geojson(gj), TilerOptions(max_zoom=3), mode="pyramid")
+    rasters = rasterize_tiles(tiles, size=64)
+    return vectorize_tiles(rasters, size=64).select_columns(
+        ["z", "x", "y", "num_rings", "num_vertices"]
+    )
+
+
 def q_img_cluster(sf_dir: str):
     """Exact greedy clustering (reference supercluster semantics) of the
     image points; zoom-1 cluster tiles (non-SQL: order-dependent greedy)."""
@@ -677,6 +695,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_decode_stats": q_img_decode_stats,
     "rect_pyramid": q_rect_pyramid,
     "rect_raster": q_rect_raster,
+    "rect_vectorize": q_rect_vectorize,
     "img_cluster": q_img_cluster,
     "doc_token_stats": q_doc_token_stats,
     "doc_dedup_exact": q_doc_dedup_exact,

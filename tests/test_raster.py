@@ -86,3 +86,74 @@ def test_rasterize_tiles_dataset(ray_session):
     img = decode_raster(root["raster"])
     assert img.shape == (64, 64)
     assert 0.0 < root["coverage"] < 1.0  # the US covers some but not all of the world
+
+
+def test_vectorize_mask_roundtrip_fuzz():
+    """raster -> vector -> raster is bit-exact for arbitrary masks, including
+    checkerboards and corner-touching regions (even-odd parity depends only
+    on the union of boundary edges)."""
+    from geojson_vt_ray.ray_pipeline.raster import vectorize_mask
+
+    rng = np.random.default_rng(1234)
+    for _ in range(25):
+        size = int(rng.integers(2, 33))
+        img = (rng.random((size, size)) < rng.uniform(0.1, 0.9)).astype(np.uint8) * 255
+        rings = vectorize_mask(img)
+        feats = [{"type": 3, "geometry": rings, "tags": {}}] if rings else []
+        back = rasterize_features(feats, extent=size, size=size)
+        assert np.array_equal(back != 0, img != 0)
+    for size in (2, 3, 16):
+        img = (np.indices((size, size)).sum(axis=0) % 2).astype(np.uint8) * 255
+        rings = vectorize_mask(img)
+        back = rasterize_features(
+            [{"type": 3, "geometry": rings, "tags": {}}], extent=size, size=size
+        )
+        assert np.array_equal(back != 0, img != 0)
+
+
+def test_vectorize_tiles_roundtrip_pyramid(ray_session):
+    """Full pipeline: vector tiles -> rasterize_tiles -> vectorize_tiles ->
+    re-rasterize per row reproduces every tile's mask exactly, at a
+    non-trivial extent/size ratio."""
+    import json as _json
+
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.raster import (
+        rasterize_tiles,
+        vectorize_mask,
+        vectorize_tiles,
+    )
+    from geojson_vt_ray.ray_pipeline.tiler import build_tiles, dataset_from_geojson
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Polygon",
+                    "coordinates": [
+                        [[-60, -40], [70, -35], [50, 55], [-70, 40], [-60, -40]],
+                        [[-20, -10], [25, -5], [15, 20], [-20, -10]],
+                    ],
+                },
+                "properties": {},
+            }
+        ],
+    }
+    tiles = build_tiles(dataset_from_geojson(gj), TilerOptions(max_zoom=2), mode="pyramid")
+    rasters = rasterize_tiles(tiles, size=32).materialize()
+    vec = {
+        (r["z"], r["x"], r["y"]): r["features_json"]
+        for r in vectorize_tiles(rasters, size=32).iter_rows()
+    }
+    checked = 0
+    for row in rasters.iter_rows():
+        from geojson_vt_ray.ray_pipeline.raster import decode_raster
+
+        img = decode_raster(row["raster"])
+        feats = _json.loads(vec[(row["z"], row["x"], row["y"])])
+        back = rasterize_features(feats, extent=4096, size=32)
+        assert np.array_equal(back != 0, img != 0), (row["z"], row["x"], row["y"])
+        checked += 1
+    assert checked > 4
