@@ -384,15 +384,58 @@ def write_pyramid_fast(
             json.dump({"n_bins": plan["n_bins"], "bins": plan["bins"]}, f)
     tiles.write_parquet(bins_dir, partition_cols=["skey"])
 
+    # per-bin checkpoint manifests: tile/feature/point metrics plus the
+    # input-seq lineage span (which source features produced this
+    # partition's tiles — min_seq/max_seq are order keys derived from
+    # input_seq). Computed in one Ray task per bin so the driver never
+    # reads tile rows; a resumed run trusts existing manifests untouched.
+    import ray as _ray
+
+    @_ray.remote
+    def bin_manifest(d: str) -> dict:
+        parts = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        tiles_n = feats = pts = simp = 0
+        seq_lo: Optional[bytes] = None
+        seq_hi: Optional[bytes] = None
+        for part in parts:
+            t = pq.read_table(
+                part,
+                columns=["num_features", "num_points", "num_simplified", "min_seq", "max_seq"],
+            )
+            tiles_n += t.num_rows
+            feats += sum(t.column("num_features").to_pylist())
+            pts += sum(t.column("num_points").to_pylist())
+            simp += sum(t.column("num_simplified").to_pylist())
+            for s in t.column("min_seq").to_pylist():
+                if s and (seq_lo is None or s < seq_lo):
+                    seq_lo = s
+            for s in t.column("max_seq").to_pylist():
+                if s and (seq_hi is None or s > seq_hi):
+                    seq_hi = s
+        return {
+            "tiles": tiles_n,
+            "num_features": feats,
+            "num_points": pts,
+            "num_simplified": simp,
+            "seq_min": seq_lo.hex() if seq_lo else None,
+            "seq_max": seq_hi.hex() if seq_hi else None,
+            "files": [os.path.basename(p) for p in parts],
+        }
+
+    pending: list[tuple[int, "object"]] = []
     n = 0
     for d in glob.glob(os.path.join(bins_dir, "skey=*")):
         k = int(os.path.basename(d).split("=")[1])
         for part in glob.glob(os.path.join(d, "*.parquet")):
             n += pq.ParquetFile(part).metadata.num_rows
-        marker = os.path.join(done_dir, f"{k}.done")
-        if not os.path.exists(marker):
-            with open(marker, "w") as f:
-                f.write("1")
+        if not os.path.exists(os.path.join(done_dir, f"{k}.done")):
+            pending.append((k, bin_manifest.remote(d)))
+    for k, ref in pending:
+        manifest = _ray.get(ref)
+        tmp = os.path.join(done_dir, f"{k}.done.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(done_dir, f"{k}.done"))
     with open(done, "w") as f:
         f.write(str(n))
     return {"tiles": n, "resumed": bool(done_bins)}

@@ -86,3 +86,49 @@ def test_write_pyramid_fast_per_bin_resume(ray_session, tmp_path):
             assert st is None or st["features"] == []
         else:
             assert_deep_equal(st["features"], lt["features"])
+
+
+def test_per_bin_manifests_record_metrics_and_lineage(ray_session, tmp_path):
+    """Each bin's done marker is a JSON checkpoint manifest: tile/feature/
+    point metrics plus the input-seq lineage span, and the manifest sums
+    reconcile with the partition files they describe."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from geojson_vt_ray.ray_pipeline.cascade import write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    data = load_fixture("us-states.json")
+    out = str(tmp_path / "pyr")
+    stats = write_pyramid_fast(
+        dataset_from_geojson(data), TilerOptions(max_zoom=3), out, z_handoff=2
+    )
+
+    total_tiles = total_feats = 0
+    manifests = glob.glob(os.path.join(out, "_done", "*.done"))
+    assert manifests
+    for marker in manifests:
+        with open(marker) as f:
+            m = json.load(f)
+        d = os.path.join(out, "bins", f"skey={os.path.basename(marker)[:-5]}")
+        rows = feats = 0
+        seqs = []
+        for part in glob.glob(os.path.join(d, "*.parquet")):
+            t = pq.read_table(part, columns=["num_features", "min_seq", "max_seq"])
+            rows += t.num_rows
+            feats += sum(t.column("num_features").to_pylist())
+            seqs += [s for s in t.column("min_seq").to_pylist() if s]
+            seqs += [s for s in t.column("max_seq").to_pylist() if s]
+        assert m["tiles"] == rows, marker
+        assert m["num_features"] == feats, marker
+        if seqs:
+            assert m["seq_min"] == min(seqs).hex()
+            assert m["seq_max"] == max(seqs).hex()
+        assert m["files"]
+        total_tiles += m["tiles"]
+        total_feats += m["num_features"]
+    assert total_tiles == stats["tiles"]
+    assert total_feats > 0
