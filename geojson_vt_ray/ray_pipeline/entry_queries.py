@@ -360,6 +360,15 @@ def q_doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(docs, threshold=0.2)
 
 
+def q_doc_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming ≤ 3) via exact pigeonhole banding —
+    the oracle's all-pairs bit_count(xor) scan must agree row-for-row."""
+    from .text import simhash_near_dup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     """BPE-ish regex token counts (oracle: DuckDB regexp_extract_all with the
     identical RE2-compatible pattern)."""
@@ -703,6 +712,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "events_hourly": q_events_hourly,
@@ -938,6 +948,26 @@ ORACLES: dict[str, str] = {
                CAST(CASE WHEN v >= 9223372036854775808 THEN v - {_U64} ELSE v END
                     AS BIGINT) AS simhash
         FROM sig
+    """,
+    "doc_simhash_pairs": f"""
+        WITH {_TOKS_CTE}, {_TH_CTE}, {_shingle_cte(2)},
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (sv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                 FROM (SELECT doc_id, unnest(s) AS sv FROM sh),
+                      generate_series(0, 63) AS g(b)
+                 GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN acc >= 0 THEN (CAST(1 AS HUGEINT) << b)
+                                ELSE CAST(0 AS HUGEINT) END) AS v
+                FROM bits GROUP BY doc_id),
+        s64 AS (SELECT doc_id,
+                       CAST(CASE WHEN v >= 9223372036854775808 THEN v - {_U64} ELSE v END
+                            AS BIGINT) AS h
+                FROM sig)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM s64 a, s64 b
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3
     """,
     "doc_bpe_tokens": r"""
         WITH toks AS (SELECT doc_id,

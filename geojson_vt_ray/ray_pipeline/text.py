@@ -537,3 +537,118 @@ def simhash_signatures(docs: "ray.data.Dataset", shingle_k: int = 2) -> "ray.dat
             )
 
     return docs.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 32))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """SWAR popcount over uint64 (no Python loop)."""
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_near_dup_pairs(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+) -> "ray.data.Dataset":
+    """SimHash near-duplicate pairs: Hamming distance ≤ ``max_hamming`` on
+    64-bit signatures, found EXACTLY (not approximately) via pigeonhole
+    banding.
+
+    The 64 bits split into ``max_hamming + 1`` bands; any pair within the
+    Hamming budget must agree exactly on at least one band, so candidate
+    generation is a groupby on (band, band value) — only (band, value,
+    doc_id, simhash) rows shuffle, never text. Within-bucket verification is
+    a vectorized XOR + SWAR popcount; duplicates found in several bands
+    dedupe in a second small groupby over the pair keys. Same recall as the
+    all-pairs scan by construction, at shuffle cost O(docs · bands) +
+    Σ bucket². Skew caveat (shared with MinHash bucketing): a degenerate
+    corpus where thousands of docs share a band value makes that bucket
+    quadratic — cap or salt monster buckets before 100 TB.
+    """
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    sigs = simhash_signatures(docs, shingle_k=shingle_k)
+
+    def band_stage(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int8()),
+                    "bval": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], batch.column("doc_id").type),
+                    "simhash": pa.array([], pa.int64()),
+                }
+            )
+        sig = batch.column("simhash").to_numpy().astype(np.uint64)
+        ids = batch.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        bands = np.repeat(np.arange(n_bands, dtype=np.int8), n)
+        bvals = np.concatenate(
+            [((sig >> np.uint64(b * width)) & mask).astype(np.int64) for b in range(n_bands)]
+        )
+        idx = pa.array(np.tile(np.arange(n), n_bands))
+        return pa.table(
+            {
+                "band": pa.array(bands),
+                "bval": pa.array(bvals),
+                "doc_id": ids.take(idx),
+                "simhash": pa.concat_arrays(
+                    [batch.column("simhash").combine_chunks()] * n_bands
+                )
+                if isinstance(batch.column("simhash"), pa.ChunkedArray)
+                else pa.concat_arrays([batch.column("simhash")] * n_bands),
+            }
+        )
+
+    def _empty_pairs(id_type: pa.DataType) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pa.array([], id_type),
+                "doc_b": pa.array([], id_type),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ids_col = group.column("doc_id")
+        if n < 2:
+            return _empty_pairs(ids_col.type)
+        sig = group.column("simhash").to_numpy().astype(np.uint64)
+        ii, jj = np.triu_indices(n, k=1)
+        ham = _popcount64(np.bitwise_xor(sig[ii], sig[jj])).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return _empty_pairs(ids_col.type)
+        ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = np.asarray(ids_col.to_pylist(), dtype=object)
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pa.table(
+            {
+                "doc_a": pa.array(a.tolist(), ids_col.type),
+                "doc_b": pa.array(b.tolist(), ids_col.type),
+                "hamming": pa.array(ham),
+            }
+        )
+
+    def first_of_pair(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    return (
+        sigs.map_batches(band_stage, batch_format="pyarrow")
+        .groupby(["band", "bval"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(first_of_pair, batch_format="pyarrow")
+    )

@@ -68,6 +68,46 @@ def test_simhash_near_duplicates_close(ray_session):
     assert hamming(out[0], out[1]) <= 16
 
 
+def test_simhash_banded_pairs_equal_all_pairs(ray_session):
+    """Pigeonhole banding is EXACT for Hamming <= max_hamming: the banded
+    distributed pair finder must return the identical pair set (with the
+    identical distances) as a brute-force all-pairs popcount scan."""
+    from geojson_vt_ray.ray_pipeline.text import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    rs = np.random.RandomState(11)
+    words = [f"w{i}" for i in range(60)]
+    texts = []
+    for i in range(30):
+        base = " ".join(rs.choice(words, 200))
+        texts.append(base)
+        if i % 5 == 0:  # exact duplicate -> hamming 0
+            texts.append(base)
+        if i % 5 == 1:  # tiny edit on a long doc -> small hamming
+            texts.append(base + " zzz")
+    docs = _docs_ds(texts)
+    max_h = 3
+
+    sigs = {r["doc_id"]: r["simhash"] & ((1 << 64) - 1)
+            for r in simhash_signatures(docs).iter_rows()}
+    expected = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= max_h:
+                expected.add((a, b, h))
+
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"]), int(r["hamming"]))
+        for r in simhash_near_dup_pairs(docs, max_hamming=max_h).iter_rows()
+    }
+    assert expected, "corpus must contain at least one near-dup pair"
+    assert got == expected
+
+
 def test_ann_lsh_recall_vs_bruteforce(ray_session):
     import ray.data
 
