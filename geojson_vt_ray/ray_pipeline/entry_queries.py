@@ -369,6 +369,17 @@ def q_doc_simhash_pairs(sf_dir: str):
     return simhash_near_dup_pairs(docs, max_hamming=3)
 
 
+def q_doc_dedup_clusters(sf_dir: str):
+    """Near-dup clusters: connected components of the SimHash (Hamming ≤ 3)
+    pair graph via distributed hash-to-min; every doc labeled with the min
+    doc_id of its component plus the component size. Oracle: the same pair
+    graph in SQL + a recursive min-label propagation CTE."""
+    from .text import simhash_dedup_clusters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_dedup_clusters(docs, max_hamming=3)
+
+
 def q_doc_bpe_tokens(sf_dir: str):
     """BPE-ish regex token counts (oracle: DuckDB regexp_extract_all with the
     identical RE2-compatible pattern)."""
@@ -713,6 +724,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_langid": q_doc_langid,
     "doc_simhash": q_doc_simhash,
     "doc_simhash_pairs": q_doc_simhash_pairs,
+    "doc_dedup_clusters": q_doc_dedup_clusters,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_minhash_candidates": q_doc_minhash_candidates,
     "events_hourly": q_events_hourly,
@@ -968,6 +980,37 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
         FROM s64 a, s64 b
         WHERE a.doc_id < b.doc_id AND bit_count(xor(a.h, b.h)) <= 3
+    """,
+    "doc_dedup_clusters": f"""
+        WITH RECURSIVE {_TOKS_CTE}, {_TH_CTE}, {_shingle_cte(2)},
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN (sv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+                 FROM (SELECT doc_id, unnest(s) AS sv FROM sh),
+                      generate_series(0, 63) AS g(b)
+                 GROUP BY doc_id, b),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN acc >= 0 THEN (CAST(1 AS HUGEINT) << b)
+                                ELSE CAST(0 AS HUGEINT) END) AS v
+                FROM bits GROUP BY doc_id),
+        s64 AS (SELECT doc_id,
+                       CAST(CASE WHEN v >= 9223372036854775808 THEN v - {_U64} ELSE v END
+                            AS BIGINT) AS h
+                FROM sig),
+        pairs AS (SELECT a.doc_id AS pa, b.doc_id AS pb
+                  FROM s64 a, s64 b
+                  WHERE a.doc_id < b.doc_id
+                    AND bit_count(xor(a.h, b.h)) <= 3),
+        edges AS (SELECT pa AS a, pb AS b FROM pairs
+                  UNION ALL SELECT pb, pa FROM pairs),
+        cc(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+        ),
+        labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+        SELECT node AS doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM labels
     """,
     "doc_bpe_tokens": r"""
         WITH toks AS (SELECT doc_id,

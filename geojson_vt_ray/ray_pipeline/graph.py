@@ -1,0 +1,179 @@
+"""Distributed connected components over a pair/edge Dataset.
+
+The near-duplicate detectors (exact-hash groups, MinHash-LSH, SimHash
+banding, embedding-cosine) all emit *pairs*; a dedup pipeline needs
+*clusters* — one representative per connected component of the pair graph.
+This module computes components with the "hash-to-min" algorithm
+(Rastogi, Machanavajjhala, Chitnis, Das Sarma: "Finding Connected
+Components in Map-Reduce in Logarithmic Rounds", ICDE 2013): each node's
+label set contracts toward the component-minimum id in O(log d) rounds.
+
+Ray-Data-native shape: one round = ONE ``groupby(bucket).map_groups``
+shuffle over (node, label) pairs where ``bucket = mix(node) % P`` — every
+round is P vectorized numpy calls (sort + reduceat + repeat), never a
+Python call per node or per edge.  The graph never sits on the driver;
+convergence is detected from a multiset hash of the full label state
+(count + three independent 64-bit mixed sums), computed as Dataset
+aggregates.  The iteration is deterministic, so an unchanged state is a
+true fixpoint.
+
+Scale notes (100 TB): shuffled volume per round is O(E) pairs of int64 —
+documents/embeddings never enter the graph stage.  Rounds are
+O(log(max component diameter)); dedup graphs are overwhelmingly tiny
+cliques plus short chains, so 3-6 rounds in practice.  A monster
+component costs extra *rounds*, never extra memory per task, because a
+task only ever sees one bucket's direct-neighbor pairs.  The per-round
+``materialize()`` pins O(E) int64 pairs in the object store.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 / golden-ratio odd constant
+
+
+def _pair_table(node: np.ndarray, label: np.ndarray, n_buckets: int) -> pa.Table:
+    node = node.astype(np.int64)
+    bucket = ((node.astype(np.uint64) * _MIX) % np.uint64(n_buckets)).astype(np.int32)
+    return pa.table(
+        {
+            "bucket": pa.array(bucket),
+            "node": pa.array(node),
+            "label": pa.array(label.astype(np.int64)),
+        }
+    )
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the multiset-hash sums."""
+    x = (x + _MIX).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def connected_components(
+    edges: "ray.data.Dataset",
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    nodes: "ray.data.Dataset | None" = None,
+    node_col: str = "doc_id",
+    n_buckets: int = 64,
+    max_rounds: int = 50,
+) -> "ray.data.Dataset":
+    """Label every node with the minimum node id of its connected component.
+
+    Args:
+        edges: Dataset with two int-id columns (``col_a``, ``col_b``); treated
+            as an undirected graph.
+        nodes: optional Dataset of all node ids (``node_col``) — include it to
+            get singleton components for nodes with no edges (a dedup
+            pipeline wants every document labeled, not just the duplicated
+            ones).
+        n_buckets: shuffle fan-out per round; size to ~2-4x cluster cores.
+        max_rounds: safety bound; hash-to-min needs O(log d) rounds.
+
+    Returns:
+        Dataset with columns ``node`` (int64) and ``component`` (int64, the
+        min node id of the node's component).
+    """
+
+    def seed_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(col_a).to_numpy().astype(np.int64)
+        b = batch.column(col_b).to_numpy().astype(np.int64)
+        # symmetric closure + self-loops so every touched node is present
+        return _pair_table(
+            np.concatenate([a, b, a]), np.concatenate([b, a, a]), n_buckets
+        )
+
+    pairs = edges.map_batches(seed_edges, batch_format="pyarrow")
+    if nodes is not None:
+
+        def seed_nodes(batch: pa.Table) -> pa.Table:
+            n = batch.column(node_col).to_numpy().astype(np.int64)
+            return _pair_table(n, n, n_buckets)
+
+        pairs = pairs.union(nodes.map_batches(seed_nodes, batch_format="pyarrow"))
+
+    def round_fn(group: pa.Table) -> pa.Table:
+        """One hash-to-min round over one bucket, fully vectorized.
+
+        For each node in the bucket with (deduped) label set C and
+        m = min(C): emit (node, m), (l, m) for every l in C, and (m, l)
+        for every l in C — neighbors learn the min, the min learns the
+        neighborhood, which is what contracts chains logarithmically.
+        """
+        if group.num_rows == 0:
+            return _pair_table(np.empty(0, np.int64), np.empty(0, np.int64), n_buckets)
+        node = group.column("node").to_numpy()
+        label = group.column("label").to_numpy()
+        order = np.lexsort((label, node))
+        node, label = node[order], label[order]
+        keep = np.concatenate(
+            ([True], (node[1:] != node[:-1]) | (label[1:] != label[:-1]))
+        )
+        node, label = node[keep], label[keep]
+        starts = np.nonzero(np.concatenate(([True], node[1:] != node[:-1])))[0]
+        counts = np.diff(np.append(starts, len(node)))
+        uniq_nodes = node[starts]
+        mins = label[starts]  # sorted by (node, label): first label is the min
+        rep_min = np.repeat(mins, counts)
+        out_node = np.concatenate([uniq_nodes, label, rep_min])
+        out_label = np.concatenate([mins, rep_min, label])
+        return _pair_table(out_node, out_label, n_buckets)
+
+    def state_sig(ds: "ray.data.Dataset") -> tuple:
+        """Order-independent multiset hash of the deduped (node, label) set."""
+
+        def hash_batch(batch: pa.Table) -> pa.Table:
+            n = batch.column("node").to_numpy().astype(np.uint64)
+            l = batch.column("label").to_numpy().astype(np.uint64)
+            h = _mix64(n * np.uint64(0x100000001B3) + _mix64(l))
+            return pa.table(
+                {
+                    "h1": pa.array(h.astype(np.int64)),
+                    "h2": pa.array(_mix64(h).astype(np.int64)),
+                }
+            )
+
+        # dedupe pairs first so emission multiplicity doesn't mask a fixpoint
+        deduped = ds.groupby(["node", "label"]).count()
+        hashed = deduped.map_batches(hash_batch, batch_format="pyarrow")
+        agg = hashed.aggregate(
+            ray.data.aggregate.Sum("h1"), ray.data.aggregate.Sum("h2")
+        )
+        return (deduped.count(), agg["sum(h1)"], agg["sum(h2)"])
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        pairs = (
+            pairs.groupby("bucket")
+            .map_groups(round_fn, batch_format="pyarrow")
+            .materialize()
+        )
+        sig = state_sig(pairs)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    def finalize(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+            )
+        node = group.column("node").to_numpy()
+        label = group.column("label").to_numpy()
+        order = np.lexsort((label, node))
+        node, label = node[order], label[order]
+        starts = np.nonzero(np.concatenate(([True], node[1:] != node[:-1])))[0]
+        return pa.table(
+            {
+                "node": pa.array(node[starts].astype(np.int64)),
+                "component": pa.array(label[starts].astype(np.int64)),
+            }
+        )
+
+    return pairs.groupby("bucket").map_groups(finalize, batch_format="pyarrow")

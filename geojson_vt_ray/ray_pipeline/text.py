@@ -652,3 +652,65 @@ def simhash_near_dup_pairs(
         .groupby(["doc_a", "doc_b"])
         .map_groups(first_of_pair, batch_format="pyarrow")
     )
+
+
+def simhash_dedup_clusters(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Near-duplicate CLUSTERS: connected components of the SimHash pair
+    graph, one row per document with its cluster representative and size.
+
+    Pipeline: `simhash_near_dup_pairs` (exact pigeonhole banding) → 
+    `graph.connected_components` (hash-to-min, O(log d) bucketed groupby
+    rounds) → one vectorized groupby to attach cluster sizes. Every doc is
+    labeled — singletons get cluster_id == doc_id, cluster_size == 1 — so
+    `WHERE doc_id = cluster_id` is the canonical keep-one-per-cluster dedup
+    filter. Only int64 (node, label) pairs ever shuffle; text stays in the
+    signature stage.
+    """
+    from .graph import connected_components
+
+    pairs = simhash_near_dup_pairs(docs, max_hamming=max_hamming, shingle_k=shingle_k)
+    ids = docs.select_columns(["doc_id"])
+    cc = connected_components(
+        pairs, "doc_a", "doc_b", nodes=ids, node_col="doc_id", n_buckets=n_buckets
+    )
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        comp = batch.column("component").to_numpy().astype(np.uint64)
+        b = ((comp * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets)).astype(
+            np.int32
+        )
+        return batch.append_column("cbucket", pa.array(b))
+
+    def attach_size(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "cluster_id": pa.array([], pa.int64()),
+                    "cluster_size": pa.array([], pa.int64()),
+                }
+            )
+        node = group.column("node").to_numpy()
+        comp = group.column("component").to_numpy()
+        order = np.argsort(comp, kind="stable")
+        node, comp = node[order], comp[order]
+        starts = np.nonzero(np.concatenate(([True], comp[1:] != comp[:-1])))[0]
+        counts = np.diff(np.append(starts, len(comp)))
+        return pa.table(
+            {
+                "doc_id": pa.array(node.astype(np.int64)),
+                "cluster_id": pa.array(comp.astype(np.int64)),
+                "cluster_size": pa.array(np.repeat(counts, counts).astype(np.int64)),
+            }
+        )
+
+    return (
+        cc.map_batches(with_bucket, batch_format="pyarrow")
+        .groupby("cbucket")
+        .map_groups(attach_size, batch_format="pyarrow")
+    )
