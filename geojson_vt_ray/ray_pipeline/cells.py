@@ -51,6 +51,33 @@ def with_cell_id(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def with_s2_cell_id(ds: "ray.data.Dataset", level: int) -> "ray.data.Dataset":
+    """Add the spherical S2-style cell id (kernels/s2.py: cube face +
+    quadratic ST + orientation-chained Hilbert curve, 64-bit S2CellId
+    layout) to a phash-georeferenced dataset. Emitted as int64 (two's
+    complement of the uint64 id) so it round-trips through Arrow/SQL.
+
+    This is the planet-scale shuffle key the north rule names: unlike the
+    flat mercator curve ids, contiguous s2 id ranges stay compact across
+    face boundaries and have no polar distortion blowup."""
+    from ..datagen.images import mercator_xy
+    from ..kernels.s2 import s2_cell_id
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        cid = s2_cell_id(mx, my, level).astype(np.int64)
+        return batch.append_column("s2_cell", pa.array(cid))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def s2_cell_counts(ds: "ray.data.Dataset", level: int) -> "ray.data.Dataset":
+    """Rows per S2 cell (native partial-agg groupby; only (cell, count)
+    pairs shuffle)."""
+    tagged = with_s2_cell_id(ds, level).select_columns(["s2_cell"])
+    return tagged.groupby("s2_cell").count()
+
+
 def cell_counts(
     ds: "ray.data.Dataset", level: int, curve: str = "morton"
 ) -> "ray.data.Dataset":

@@ -175,6 +175,30 @@ def q_img_cell_counts(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def q_img_s2_assign(sf_dir: str):
+    """Spherical S2-style cell id (cube face + quadratic ST + Hilbert,
+    kernels/s2.py) at level 10 per image. Oracled: the DuckDB SQL mirrors
+    the exact float64 expression tree (exp/cos/sin/sqrt + an unrolled
+    10-step Hilbert walk) — verified bit-equal on every testdata scale."""
+    from .cells import with_s2_cell_id
+
+    ds = with_s2_cell_id(_image_points(sf_dir), level=10)
+    return ds.select_columns(["image_id", "s2_cell"])
+
+
+def q_img_s2_counts(sf_dir: str):
+    """Occupancy histogram of level-7 S2 cells (native partial-agg
+    groupby: only (cell, count) pairs shuffle)."""
+    from .cells import s2_cell_counts
+
+    ds = s2_cell_counts(_image_points(sf_dir), level=7)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["s2_cell", "n_images"])
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
 def q_doc_token_stats(sf_dir: str):
     from .text import token_stats
 
@@ -712,6 +736,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_knn_radius": q_img_knn_radius,
     "img_cell_assign": q_img_cell_assign,
     "img_cell_counts": q_img_cell_counts,
+    "img_s2_assign": q_img_s2_assign,
+    "img_s2_counts": q_img_s2_counts,
     "img_decode_stats": q_img_decode_stats,
     "rect_pyramid": q_rect_pyramid,
     "rect_raster": q_rect_raster,
@@ -825,6 +851,73 @@ c2 AS (SELECT image_id, (x | (x << 2)) & 13107 AS x, (y | (y << 2)) & 13107 AS y
 c3 AS (SELECT image_id, (x | (x << 1)) & 21845 AS x, (y | (y << 1)) & 21845 AS y FROM c2)"""
 
 
+def _s2_cte(level: int) -> str:
+    """Chained CTEs reproducing `kernels.s2.s2_cell_id` bit-for-bit in
+    DuckDB: mercator -> sphere xyz (exp-based tanh/sech, no sinh builtin
+    needed), dominant cube face, per-face (u,v) ratios, quadratic ST,
+    grid (i,j), then `level` unrolled Hilbert steps with the S2
+    swap/invert orientation tables as list_extract lookups. Final CTE
+    `s2h{level}` carries (doc_id, face, pos)."""
+    n = 1 << level
+    ctes = [
+        f"""s2m AS (
+  SELECT doc_id,
+         ({LNG} / 4294967296.0 - 0.5) * (2*pi()) AS lon,
+         exp(pi() * (1.0 - 2.0 * ({LAT} / 2147483648.0))) AS e
+  FROM documents),
+s2xyz AS (
+  SELECT doc_id,
+    (2.0/(e + 1.0/e))*cos(lon) AS x,
+    (2.0/(e + 1.0/e))*sin(lon) AS y,
+    (e - 1.0/e)/(e + 1.0/e) AS z
+  FROM s2m),
+s2fuv AS (
+  SELECT doc_id,
+    CASE WHEN abs(z) >= abs(x) AND abs(z) >= abs(y) THEN (CASE WHEN z >= 0 THEN 2 ELSE 5 END)
+         WHEN abs(y) >= abs(x) THEN (CASE WHEN y >= 0 THEN 1 ELSE 4 END)
+         ELSE (CASE WHEN x >= 0 THEN 0 ELSE 3 END) END AS face,
+    x, y, z FROM s2xyz),
+s2uv AS (
+  SELECT doc_id, face,
+    CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+              WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+    CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+              WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM s2fuv),
+s2st AS (
+  SELECT doc_id, face,
+    CASE WHEN u >= 0 THEN 0.5*sqrt(1.0+3.0*u) ELSE 1.0-0.5*sqrt(1.0-3.0*u) END AS s,
+    CASE WHEN v >= 0 THEN 0.5*sqrt(1.0+3.0*v) ELSE 1.0-0.5*sqrt(1.0-3.0*v) END AS t
+  FROM s2uv),
+s2h0 AS (
+  SELECT doc_id, face,
+    LEAST(GREATEST(CAST(floor(s * {n}) AS BIGINT), 0), {n - 1}) AS i,
+    LEAST(GREATEST(CAST(floor(t * {n}) AS BIGINT), 0), {n - 1}) AS j,
+    face & 1 AS o, CAST(0 AS HUGEINT) AS pos
+  FROM s2st)"""
+    ]
+    ij_to_pos = "[0,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0]"
+    pos_to_orient = "[1,0,0,3]"
+    for step, k in enumerate(range(level - 1, -1, -1), start=1):
+        ctes.append(
+            f"""s2h{step} AS (
+  SELECT doc_id, face, i, j,
+    xor(o, list_extract({pos_to_orient}, q + 1)) AS o,
+    pos * 4 + q AS pos
+  FROM (SELECT *, list_extract({ij_to_pos}, o*4 + (((i >> {k}) & 1)*2 | ((j >> {k}) & 1)) + 1) AS q
+        FROM s2h{step - 1}))"""
+        )
+    return ",\n".join(ctes)
+
+
+def _s2_id_expr(level: int) -> str:
+    """S2CellId packing (face<<61 | pos<<shift | sentinel) as two's-
+    complement BIGINT, computed in HUGEINT to dodge int64 overflow for
+    faces >= 4."""
+    shift = 61 - 2 * level
+    return f"""CAST(CASE WHEN hug >= CAST(2 AS HUGEINT)**63 THEN hug - CAST(2 AS HUGEINT)**64 ELSE hug END AS BIGINT)"""
+
+
 _STOPWORDS_SQL = ", ".join(
     f"'{w}'"
     for w in "the a an and or of to in is are was were be been it this that with for on as at by".split()
@@ -896,6 +989,24 @@ ORACLES: dict[str, str] = {
     "img_cell_counts": f"""
         WITH {_morton_cte(6)}
         SELECT x | (y << 1) AS cell, count(*) AS n_images FROM c3 GROUP BY 1
+    """,
+    "img_s2_assign": f"""
+        WITH {_s2_cte(10)}
+        SELECT image_id, {_s2_id_expr(10)} AS s2_cell
+        FROM (SELECT {IMG_ID} AS image_id,
+                CAST(face AS HUGEINT) * (CAST(2 AS HUGEINT)**61)
+                + pos * (CAST(2 AS HUGEINT)**{61 - 2 * 10})
+                + (CAST(2 AS HUGEINT)**{61 - 2 * 10 - 1}) AS hug
+              FROM s2h10)
+    """,
+    "img_s2_counts": f"""
+        WITH {_s2_cte(7)}
+        SELECT {_s2_id_expr(7)} AS s2_cell, count(*) AS n_images
+        FROM (SELECT CAST(face AS HUGEINT) * (CAST(2 AS HUGEINT)**61)
+                + pos * (CAST(2 AS HUGEINT)**{61 - 2 * 7})
+                + (CAST(2 AS HUGEINT)**{61 - 2 * 7 - 1}) AS hug
+              FROM s2h7)
+        GROUP BY 1
     """,
     "doc_token_stats": """
         SELECT doc_id,
