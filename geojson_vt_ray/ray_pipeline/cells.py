@@ -78,6 +78,60 @@ def s2_cell_counts(ds: "ray.data.Dataset", level: int) -> "ray.data.Dataset":
     return tagged.groupby("s2_cell").count()
 
 
+def with_hex_cell(ds: "ray.data.Dataset", res: int) -> "ray.data.Dataset":
+    """Add the H3-style hex cell id (kernels/hex.py: pointy-top axial
+    grid + cube rounding, packed int64) to a phash-georeferenced
+    dataset. Hex halos are isotropic (all 6 neighbors equidistant),
+    which is what makes this the right cell for radius queries and
+    density smoothing; the quadtree/s2 ids remain the range-partition
+    keys."""
+    from ..datagen.images import mercator_xy
+    from ..kernels.hex import hex_cell
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        return batch.append_column("hex_cell", pa.array(hex_cell(mx, my, res)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hex_cell_counts(ds: "ray.data.Dataset", res: int) -> "ray.data.Dataset":
+    """Rows per hex cell (native partial-agg groupby)."""
+    tagged = with_hex_cell(ds, res).select_columns(["hex_cell"])
+    return tagged.groupby("hex_cell").count()
+
+
+def hex_smoothed_density(ds: "ray.data.Dataset", res: int, k: int = 1) -> "ray.data.Dataset":
+    """k-ring smoothed occupancy: each cell's count plus its hex-disk
+    neighbors' counts — the H3 idiom for density surfaces. Shape: count
+    per cell first (tiny), then each cell's count replicates into its
+    disk (1+3k(k+1) rows) and a second groupby sums; only (cell, count)
+    pairs ever shuffle, never the input rows."""
+    from ..kernels.hex import hex_disk
+
+    counts = hex_cell_counts(ds, res)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cells = batch.column("hex_cell").to_numpy()
+        n = batch.column("count()").to_numpy()
+        disk = hex_disk(cells, k)  # (rows, m)
+        m = disk.shape[1]
+        return pa.table(
+            {
+                "hex_cell": pa.array(disk.ravel()),
+                "n": pa.array(np.repeat(n, m)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        counts.map_batches(scatter, batch_format="pyarrow")
+        .groupby("hex_cell")
+        .aggregate(Sum("n", alias_name="smoothed"))
+    )
+
+
 def cell_counts(
     ds: "ray.data.Dataset", level: int, curve: str = "morton"
 ) -> "ray.data.Dataset":

@@ -199,6 +199,37 @@ def q_img_s2_counts(sf_dir: str):
     return ds.map_batches(rename, batch_format="pyarrow")
 
 
+def q_img_hex_assign(sf_dir: str):
+    """H3-style hex cell id (pointy-top axial grid + cube rounding,
+    kernels/hex.py) at resolution 5 per image. Oracled: deterministic
+    floor(v+0.5) rounding keeps the DuckDB SQL bit-equal."""
+    from .cells import with_hex_cell
+
+    ds = with_hex_cell(_image_points(sf_dir), res=5)
+    return ds.select_columns(["image_id", "hex_cell"])
+
+
+def q_img_hex_counts(sf_dir: str):
+    """Occupancy histogram of resolution-3 hex cells."""
+    from .cells import hex_cell_counts
+
+    ds = hex_cell_counts(_image_points(sf_dir), res=3)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["hex_cell", "n_images"])
+
+    return ds.map_batches(rename, batch_format="pyarrow")
+
+
+def q_img_hex_density(sf_dir: str):
+    """1-ring smoothed hex density (the H3 density-surface idiom): per
+    cell, its own count plus its six neighbors'. Only (cell, count)
+    pairs shuffle — counts first, then a 7-way offset scatter + sum."""
+    from .cells import hex_smoothed_density
+
+    return hex_smoothed_density(_image_points(sf_dir), res=3, k=1)
+
+
 def q_doc_token_stats(sf_dir: str):
     from .text import token_stats
 
@@ -738,6 +769,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_cell_counts": q_img_cell_counts,
     "img_s2_assign": q_img_s2_assign,
     "img_s2_counts": q_img_s2_counts,
+    "img_hex_assign": q_img_hex_assign,
+    "img_hex_counts": q_img_hex_counts,
+    "img_hex_density": q_img_hex_density,
     "img_decode_stats": q_img_decode_stats,
     "rect_pyramid": q_rect_pyramid,
     "rect_raster": q_rect_raster,
@@ -910,6 +944,33 @@ s2h0 AS (
     return ",\n".join(ctes)
 
 
+def _hex_cte(res: int) -> str:
+    """CTEs reproducing `kernels.hex.hex_cell` bit-for-bit: axial coords
+    (constants in the same evaluation order as the numpy kernel), cube
+    rounding via floor(v+0.5), largest-error component fix. Final CTE
+    `hexc` carries (doc_id, cell)."""
+    size = repr(1.0 / 8.0 / (1 << res))
+    return f"""hexpt AS (
+  SELECT doc_id, {LNG} / 4294967296.0 AS mx, {LAT} / 2147483648.0 AS my FROM documents),
+hexax AS (
+  SELECT doc_id,
+    (sqrt(3.0)/3.0 * mx - (1.0/3.0) * my) / {size} AS q,
+    ((2.0/3.0) * my) / {size} AS r
+  FROM hexpt),
+hexrnd AS (
+  SELECT doc_id, q, r, -q - r AS s,
+    floor(q + 0.5) AS rq, floor(r + 0.5) AS rr, floor(-q - r + 0.5) AS rs
+  FROM hexax),
+hexfix AS (
+  SELECT doc_id,
+    CASE WHEN abs(rq-q) > abs(rr-r) AND abs(rq-q) > abs(rs-s) THEN -rr - rs ELSE rq END AS fq,
+    CASE WHEN NOT (abs(rq-q) > abs(rr-r) AND abs(rq-q) > abs(rs-s)) AND abs(rr-r) > abs(rs-s)
+         THEN -rq - rs ELSE rr END AS fr
+  FROM hexrnd),
+hexc AS (
+  SELECT doc_id, CAST(fq AS BIGINT) * 16777216 + CAST(fr AS BIGINT) AS cell FROM hexfix)"""
+
+
 def _s2_id_expr(level: int) -> str:
     """S2CellId packing (face<<61 | pos<<shift | sentinel) as two's-
     complement BIGINT, computed in HUGEINT to dodge int64 overflow for
@@ -1007,6 +1068,22 @@ ORACLES: dict[str, str] = {
                 + (CAST(2 AS HUGEINT)**{61 - 2 * 7 - 1}) AS hug
               FROM s2h7)
         GROUP BY 1
+    """,
+    "img_hex_assign": f"""
+        WITH {_hex_cte(5)}
+        SELECT {IMG_ID} AS image_id, cell AS hex_cell FROM hexc
+    """,
+    "img_hex_counts": f"""
+        WITH {_hex_cte(3)}
+        SELECT cell AS hex_cell, count(*) AS n_images FROM hexc GROUP BY 1
+    """,
+    "img_hex_density": f"""
+        WITH {_hex_cte(3)},
+        hexcnt AS (SELECT cell, count(*) AS n FROM hexc GROUP BY 1),
+        hexoffs(dq, dr) AS (VALUES (0,0),(1,0),(1,-1),(0,-1),(-1,0),(-1,1),(0,1))
+        SELECT CAST(hexcnt.cell + (dq * 16777216 + dr) AS BIGINT) AS hex_cell,
+               CAST(SUM(n) AS BIGINT) AS smoothed
+        FROM hexcnt, hexoffs GROUP BY 1
     """,
     "doc_token_stats": """
         SELECT doc_id,
