@@ -63,43 +63,35 @@ def brute_force_topk(
     """
     refs = ray.put((np.asarray(query_vecs, dtype=np.float64), np.asarray(query_ids)))
 
-    class Partial:
-        def __init__(self) -> None:
-            self.q, self.qids = ray.get(refs)
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        # ray.get of a broadcast is zero-copy from the local plasma store;
+        # a plain function keeps this on prewarmed task workers instead of
+        # paying an actor-pool cold spawn for state that costs nothing to load
+        q, qids = ray.get(refs)
+        embs = _emb_matrix(batch)
+        vec_ids = batch.column("vec_id").to_numpy()
+        if inorder:
+            sims = _cosine_inorder(embs, q)
+        else:
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+            sims = qn @ en.T
+        kk = min(k + 1 if exclude_self else k, sims.shape[1])
+        if kk < sims.shape[1]:
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            thresh = np.take_along_axis(sims, part, axis=1).min(axis=1)
+            qi, pi = np.nonzero(sims >= thresh[:, None])  # widen boundary ties
+        else:
+            qi, pi = np.nonzero(np.ones(sims.shape, dtype=bool))
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi].astype(np.int64), pa.int64()),
+                "neighbor_id": pa.array(vec_ids[pi].astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(sims[qi, pi], pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = _emb_matrix(batch)
-            vec_ids = batch.column("vec_id").to_numpy()
-            if inorder:
-                sims = _cosine_inorder(embs, self.q)
-            else:
-                qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
-                en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-                sims = qn @ en.T
-            kk = min(k + 1 if exclude_self else k, sims.shape[1])
-            out_q: list[np.ndarray] = []
-            out_n: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
-            for qi in range(sims.shape[0]):
-                s = sims[qi]
-                if kk < len(s):
-                    part = np.argpartition(-s, kk - 1)[:kk]
-                    thresh = s[part].min()
-                    part = np.nonzero(s >= thresh)[0]  # widen boundary ties
-                else:
-                    part = np.arange(len(s))
-                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
-                out_n.append(vec_ids[part].astype(np.int64))
-                out_s.append(s[part])
-            return pa.table(
-                {
-                    "query_id": pa.array(np.concatenate(out_q) if out_q else [], pa.int64()),
-                    "neighbor_id": pa.array(np.concatenate(out_n) if out_n else [], pa.int64()),
-                    "cos_sim": pa.array(np.concatenate(out_s) if out_s else [], pa.float64()),
-                }
-            )
-
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
+    partial = embeddings.map_batches(partial_fn, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _topk_merge(k, exclude_self), batch_format="pyarrow"
     )
@@ -245,56 +237,56 @@ def lsh_topk(
     dim = np.asarray(query_vecs).shape[1]
     planes = rs.standard_normal((n_planes, dim))
     qsig = hyperplane_signatures(np.asarray(query_vecs, dtype=np.float64), planes)
-    refs = ray.put((np.asarray(query_vecs, dtype=np.float64), np.asarray(query_ids), qsig, planes))
+    qn_pre = np.asarray(query_vecs, dtype=np.float64)
+    qn_pre = qn_pre / np.linalg.norm(qn_pre, axis=1, keepdims=True)
+    refs = ray.put((qn_pre, np.asarray(query_ids), qsig, planes))
 
-    class Partial:
-        def __init__(self) -> None:
-            self.q, self.qids, self.qsig, self.planes = ray.get(refs)
-            self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = _emb_matrix(batch)
-            vec_ids = batch.column("vec_id").to_numpy()
-            esig = hyperplane_signatures(embs, self.planes)
-            en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-            out_q: list[np.ndarray] = []
-            out_n: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
-            for qi in range(len(self.qids)):
-                xor = np.bitwise_xor(esig, self.qsig[qi])
-                # popcount via bit-twiddling (values < 2^n_planes, small)
-                ham = np.zeros(len(xor), dtype=np.int64)
-                v = xor.copy()
-                while v.any():
-                    ham += v & 1
-                    v >>= 1
-                mask = ham <= probe_hamming
-                if not mask.any():
-                    continue
-                sims = en[mask] @ self.qn[qi]
-                ids = vec_ids[mask]
-                kk = min(k + 1, len(sims))
-                part = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
-                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
-                out_n.append(ids[part].astype(np.int64))
-                out_s.append(sims[part])
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "cos_sim": pa.array([], pa.float64()),
-                    }
-                )
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        # broadcast state is a cheap zero-copy ray.get — plain function
+        # stays on prewarmed task workers (no actor-pool cold spawn)
+        qn, qids, qsig_l, planes_l = ray.get(refs)
+        embs = _emb_matrix(batch)
+        vec_ids = batch.column("vec_id").to_numpy()
+        esig = hyperplane_signatures(embs, planes_l)
+        en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        out_q: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for qi in range(len(qids)):
+            xor = np.bitwise_xor(esig, qsig_l[qi])
+            # popcount via bit-twiddling (values < 2^n_planes, small)
+            ham = np.zeros(len(xor), dtype=np.int64)
+            v = xor.copy()
+            while v.any():
+                ham += v & 1
+                v >>= 1
+            mask = ham <= probe_hamming
+            if not mask.any():
+                continue
+            sims = en[mask] @ qn[qi]
+            ids = vec_ids[mask]
+            kk = min(k + 1, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sims) else np.arange(len(sims))
+            out_q.append(np.full(len(part), qids[qi], dtype=np.int64))
+            out_n.append(ids[part].astype(np.int64))
+            out_s.append(sims[part])
+        if not out_q:
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                    "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
+    partial = embeddings.map_batches(partial_fn, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _topk_merge(k, exclude_self=True), batch_format="pyarrow"
     )
@@ -348,51 +340,49 @@ def ivf_topk(
     probes = np.argsort(-(qn @ cents.T), kind="stable", axis=1)[:, :nprobe]
     refs = ray.put((qn, np.asarray(query_ids), probes, cents))
 
-    class Partial:
-        def __init__(self) -> None:
-            self.qn, self.qids, self.probes, self.cents = ray.get(refs)
-            self.probe_sets = [set(map(int, row)) for row in self.probes]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = _emb_matrix(batch)
-            vec_ids = batch.column("vec_id").to_numpy()
-            en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
-            cells = np.argmax(en @ self.cents.T, axis=1)
-            out_q: list[np.ndarray] = []
-            out_n: list[np.ndarray] = []
-            out_s: list[np.ndarray] = []
-            for qi in range(len(self.qids)):
-                mask = np.isin(cells, self.probes[qi])
-                if not mask.any():
-                    continue
-                sims = en[mask] @ self.qn[qi]
-                ids = vec_ids[mask]
-                kk = min(k + 1, len(sims))
-                part = (
-                    np.argpartition(-sims, kk - 1)[:kk]
-                    if kk < len(sims)
-                    else np.arange(len(sims))
-                )
-                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
-                out_n.append(ids[part].astype(np.int64))
-                out_s.append(sims[part])
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "cos_sim": pa.array([], pa.float64()),
-                    }
-                )
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        # broadcast state is a cheap zero-copy ray.get — plain function
+        # stays on prewarmed task workers (no actor-pool cold spawn)
+        qn_l, qids, probes_l, cents_l = ray.get(refs)
+        embs = _emb_matrix(batch)
+        vec_ids = batch.column("vec_id").to_numpy()
+        en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+        cells = np.argmax(en @ cents_l.T, axis=1)
+        out_q: list[np.ndarray] = []
+        out_n: list[np.ndarray] = []
+        out_s: list[np.ndarray] = []
+        for qi in range(len(qids)):
+            mask = np.isin(cells, probes_l[qi])
+            if not mask.any():
+                continue
+            sims = en[mask] @ qn_l[qi]
+            ids = vec_ids[mask]
+            kk = min(k + 1, len(sims))
+            part = (
+                np.argpartition(-sims, kk - 1)[:kk]
+                if kk < len(sims)
+                else np.arange(len(sims))
+            )
+            out_q.append(np.full(len(part), qids[qi], dtype=np.int64))
+            out_n.append(ids[part].astype(np.int64))
+            out_s.append(sims[part])
+        if not out_q:
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                    "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
-                    "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
 
-    partial = embeddings.map_batches(Partial, batch_format="pyarrow", concurrency=(1, 32))
+    partial = embeddings.map_batches(partial_fn, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         _topk_merge(k, exclude_self=True), batch_format="pyarrow"
     )
