@@ -215,7 +215,18 @@ def knn_radius_join_cells(
         queries.map_batches(tag_queries, batch_format="pyarrow")
     )
 
-    r2 = radius * radius
+    survivors = tagged.groupby("cell").map_groups(
+        _radius_join_group(radius * radius), batch_format="pyarrow"
+    )
+    return survivors.groupby("query_id").map_groups(
+        _radius_topk(k, exclude_self), batch_format="pyarrow"
+    )
+
+
+def _radius_join_group(r2: float):
+    """Per-cell brute-force radius join over a co-partitioned group of
+    tagged point rows (is_query=False) and halo-replicated query rows
+    (is_query=True); emits only (query_id, neighbor_id, d²) survivors."""
 
     def join_group(g: pa.Table) -> pa.Table:
         is_q = g.column("is_query").to_numpy(zero_copy_only=False)
@@ -250,8 +261,10 @@ def knn_radius_join_cells(
             }
         )
 
-    survivors = tagged.groupby("cell").map_groups(join_group, batch_format="pyarrow")
+    return join_group
 
+
+def _radius_topk(k: int, exclude_self: bool):
     import pyarrow.compute as pc
 
     def topk(g: pa.Table) -> pa.Table:
@@ -263,4 +276,85 @@ def knn_radius_join_cells(
         )
         return g.take(idx[:k])
 
-    return survivors.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+    return topk
+
+
+def hex_radius_knn_join(
+    points: "ray.data.Dataset",
+    queries: "ray.data.Dataset",
+    radius: float,
+    k: int,
+    res: int | None = None,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Exact radius-bounded kNN co-partitioned by HEX cell — same
+    contract and shape as `knn_radius_join_cells`, but the halo is the
+    isotropic 7-cell hex disk instead of the 3×3 square (7 halo rows per
+    query vs 9: ~22% less query replication for the same guarantee).
+
+    Exactness: every point within `radius` of a query lies in the
+    query's disk-1 halo when `radius <= apothem` (= size·√3/2, the
+    center-to-edge distance). The minimum boundary gap between two
+    NON-adjacent hexes is the circumradius `size` (attained by diagonal
+    distance-2 pairs; straight-line pairs are √3·size apart), so a
+    radius ball with radius ≤ apothem < size can only reach
+    edge-adjacent cells. Verified against a brute-force all-pairs
+    reference in tests."""
+    from ..datagen.images import mercator_xy
+    from ..kernels.hex import hex_cell, hex_disk, hex_size
+
+    if res is None:
+        # finest resolution whose apothem still covers the radius
+        res = 0
+        while res < 19 and hex_size(res + 1) * np.sqrt(3.0) / 2.0 >= radius:
+            res += 1
+    apothem = hex_size(res) * np.sqrt(3.0) / 2.0
+    if radius > apothem:
+        raise ValueError(
+            f"radius {radius} exceeds hex apothem {apothem} at res {res}; "
+            "disk-1 halo would miss neighbors"
+        )
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy()
+        mx, my = mercator_xy(ph)
+        key = hex_cell(mx, my, res)
+        n = len(key)
+        return pa.table(
+            {
+                "cell": pa.array(key),
+                "is_query": pa.array(np.zeros(n, dtype=bool)),
+                "image_id": batch.column("image_id"),
+                "query_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "mx": pa.array(mx),
+                "my": pa.array(my),
+            }
+        )
+
+    def tag_queries(batch: pa.Table) -> pa.Table:
+        ph = batch.column("phash").to_numpy()
+        qid = batch.column("query_id").to_numpy()
+        mx, my = mercator_xy(ph)
+        disk = hex_disk(hex_cell(mx, my, res), 1)  # (n, 7)
+        m = disk.shape[1]
+        n = disk.size
+        return pa.table(
+            {
+                "cell": pa.array(disk.ravel()),
+                "is_query": pa.array(np.ones(n, dtype=bool)),
+                "image_id": pa.array([""] * n, pa.string()),
+                "query_id": pa.array(np.repeat(qid, m)),
+                "mx": pa.array(np.repeat(mx, m)),
+                "my": pa.array(np.repeat(my, m)),
+            }
+        )
+
+    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
+        queries.map_batches(tag_queries, batch_format="pyarrow")
+    )
+    survivors = tagged.groupby("cell").map_groups(
+        _radius_join_group(radius * radius), batch_format="pyarrow"
+    )
+    return survivors.groupby("query_id").map_groups(
+        _radius_topk(k, exclude_self), batch_format="pyarrow"
+    )

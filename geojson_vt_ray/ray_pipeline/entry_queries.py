@@ -152,6 +152,31 @@ def q_img_knn_radius(sf_dir: str):
     ).select_columns(["query_id", "neighbor_id", "d2"])
 
 
+def q_img_hex_knn(sf_dir: str):
+    """Radius-bounded kNN co-partitioned by HEX cell with the isotropic
+    7-cell disk halo (`cells.hex_radius_knn_join`) — the hex-index
+    counterpart of `img_knn_radius` (3×3 square halo). Same tie rule;
+    query set idx % 89 == 0, d ≤ 0.05."""
+    import pyarrow.parquet as pq
+
+    from ..datagen.images import phash_of_index_vec
+    from .cells import hex_radius_knn_join
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    qidx = doc_ids[doc_ids % 89 == 0] + 1
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qidx.astype(np.int64)),
+                "phash": pa.array(phash_of_index_vec(qidx)),
+            }
+        )
+    )
+    return hex_radius_knn_join(_image_points(sf_dir), queries, radius=0.05, k=5)
+
+
 def q_img_cell_assign(sf_dir: str):
     """Morton (Z-order) cell id at level 8 per image — the SQL-oracled
     face of the curve-cell index (hilbert is pytest-verified against a
@@ -769,6 +794,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_cell_counts": q_img_cell_counts,
     "img_s2_assign": q_img_s2_assign,
     "img_s2_counts": q_img_s2_counts,
+    "img_hex_knn": q_img_hex_knn,
     "img_hex_assign": q_img_hex_assign,
     "img_hex_counts": q_img_hex_counts,
     "img_hex_density": q_img_hex_density,
@@ -1068,6 +1094,23 @@ ORACLES: dict[str, str] = {
                 + (CAST(2 AS HUGEINT)**{61 - 2 * 7 - 1}) AS hug
               FROM s2h7)
         GROUP BY 1
+    """,
+    "img_hex_knn": f"""
+        WITH {IMG_SQL_CTE},
+        q AS (SELECT * FROM img WHERE (idx - 1) % 89 = 0)
+        SELECT query_id, neighbor_id, d2 FROM (
+          SELECT q.idx AS query_id, i.image_id AS neighbor_id,
+                 (i.mx - q.mx) * (i.mx - q.mx) + (i.my - q.my) * (i.my - q.my) AS d2,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.idx
+                   ORDER BY (i.mx - q.mx) * (i.mx - q.mx) + (i.my - q.my) * (i.my - q.my),
+                            i.image_id
+                 ) AS rn
+          FROM img i, q
+          WHERE i.idx != q.idx
+            AND (i.mx - q.mx) * (i.mx - q.mx) + (i.my - q.my) * (i.my - q.my)
+                <= 0.05 * 0.05
+        ) WHERE rn <= 5
     """,
     "img_hex_assign": f"""
         WITH {_hex_cte(5)}

@@ -147,3 +147,83 @@ def test_hex_stage_and_density(ray_session):
     sm = hex_smoothed_density(ds, res, k=1).to_pandas()
     got_map = dict(zip(sm["hex_cell"].tolist(), sm["smoothed"].tolist()))
     assert got_map == ref
+
+
+def test_hex_radius_knn_matches_bruteforce(ray_session):
+    """The hex-disk halo join is exact: equal to a local all-pairs
+    radius-kNN reference on a dense synthetic set (includes cross-cell
+    and diagonal-cell neighbor pairs)."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.datagen.images import mercator_xy, phash_of_index_vec
+    from geojson_vt_ray.ray_pipeline.cells import hex_radius_knn_join
+
+    idx = np.arange(1, 900, dtype=np.int64)
+    ph = phash_of_index_vec(idx)
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{i:012d}" for i in idx.tolist()]),
+                "phash": pa.array(ph),
+            }
+        )
+    )
+    qidx = idx[idx % 37 == 0]
+    queries = ray.data.from_arrow(
+        pa.table(
+            {
+                "query_id": pa.array(qidx),
+                "phash": pa.array(phash_of_index_vec(qidx)),
+            }
+        )
+    )
+    radius, k = 0.045, 4
+    got = (
+        hex_radius_knn_join(pts, queries, radius=radius, k=k)
+        .to_pandas()
+        .sort_values(["query_id", "d2", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+    mx, my = mercator_xy(ph)
+    rows = []
+    for qi in qidx.tolist():
+        qx, qy = mx[qi - 1], my[qi - 1]
+        d2 = (mx - qx) ** 2 + (my - qy) ** 2
+        order = np.lexsort((idx, d2))
+        taken = 0
+        for j in order:
+            if idx[j] == qi or d2[j] > radius * radius:
+                continue
+            rows.append((qi, f"img-{idx[j]:012d}", d2[j]))
+            taken += 1
+            if taken == k:
+                break
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "d2"]).sort_values(
+        ["query_id", "d2", "neighbor_id"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hex_radius_knn_rejects_oversized_radius(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.datagen.images import phash_of_index_vec
+    from geojson_vt_ray.ray_pipeline.cells import hex_radius_knn_join
+
+    idx = np.arange(1, 10, dtype=np.int64)
+    t = pa.table(
+        {
+            "image_id": pa.array([f"img-{i:012d}" for i in idx.tolist()]),
+            "phash": pa.array(phash_of_index_vec(idx)),
+        }
+    )
+    q = pa.table({"query_id": pa.array(idx), "phash": pa.array(phash_of_index_vec(idx))})
+    with pytest.raises(ValueError):
+        hex_radius_knn_join(
+            ray.data.from_arrow(t), ray.data.from_arrow(q), radius=0.2, k=3, res=4
+        )
