@@ -255,6 +255,17 @@ def q_img_hex_density(sf_dir: str):
     return hex_smoothed_density(_image_points(sf_dir), res=3, k=1)
 
 
+def q_events_value_sketch(sf_dir: str):
+    """Approximate quantiles of events.value via the mergeable MRL
+    compactor sketch (`sketch.py`) — the no-sort scale path next to the
+    exact `doc_length_quantiles`. No SQL oracle (approximate by nature);
+    pytest pins <1% rank error vs exact on this table."""
+    from .sketch import quantile_sketch_column
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return quantile_sketch_column(ev, "value", [0.1, 0.5, 0.9, 0.99], k=256)
+
+
 def q_doc_token_stats(sf_dir: str):
     from .text import token_stats
 
@@ -826,6 +837,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_sessions": q_events_sessions,
     "events_distinct_users": q_events_distinct_users,
     "events_hll_users": q_events_hll_users,
+    "events_value_sketch": q_events_value_sketch,
     "ann_ivf_topk": q_ann_ivf_topk,
     "img_embed_topk": q_img_embed_topk,
     "video_frames": q_video_frames,

@@ -1,0 +1,96 @@
+"""Mergeable deterministic quantile sketch (ray_pipeline/sketch.py)."""
+
+import numpy as np
+import pytest
+
+from geojson_vt_ray.ray_pipeline.sketch import QuantileSketch, quantile_sketch_column
+
+
+def _rank_error(values: np.ndarray, estimate: float, q: float) -> float:
+    """|rank(estimate) - q·n| / n."""
+    n = len(values)
+    rank = np.searchsorted(np.sort(values), estimate, side="left")
+    return abs(rank - q * n) / n
+
+
+def test_exact_below_capacity():
+    """With fewer than k values nothing compacts: queries are exact."""
+    r = np.random.default_rng(1)
+    vals = r.normal(size=200)
+    sk = QuantileSketch(k=256).add(vals)
+    s = np.sort(vals)
+    for q in (0.0, 0.25, 0.5, 0.9):
+        assert sk.query(q) == s[min(int(np.ceil(q * 200)), 199)] or sk.query(q) in s
+
+
+def test_bounded_rank_error_large_stream():
+    r = np.random.default_rng(7)
+    vals = np.concatenate([r.normal(size=120_000), r.exponential(size=30_000) * 50])
+    sk = QuantileSketch(k=256)
+    for chunk in np.array_split(vals, 37):
+        sk.add(chunk)
+    assert sk.n == len(vals)
+    # stored size is bounded ~ k·log(n/k), never the stream
+    stored = sum(len(b) for b in sk.levels)
+    assert stored <= 256 * 16
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        err = _rank_error(vals, sk.query(q), q)
+        assert err < 0.01, (q, err)
+
+
+def test_merge_matches_single_within_bound():
+    """Merging partials built over disjoint shards answers with the same
+    error bound as one sketch over the whole stream."""
+    r = np.random.default_rng(3)
+    vals = r.uniform(-5, 5, size=60_000)
+    parts = np.array_split(vals, 8)
+    sk = QuantileSketch(k=128)
+    for p in parts:
+        sk.merge(QuantileSketch(k=128).add(p))
+    assert sk.n == len(vals)
+    for q in (0.05, 0.5, 0.95):
+        assert _rank_error(vals, sk.query(q), q) < 0.02
+
+
+def test_row_codec_roundtrip():
+    r = np.random.default_rng(5)
+    sk = QuantileSketch(k=64).add(r.normal(size=10_000))
+    vals, wts = sk.to_rows()
+    assert set(np.unique(wts)).issubset({1 << h for h in range(32)})
+    back = QuantileSketch.from_rows(vals, wts, k=64)
+    assert back.n == sk.n
+    for q in (0.1, 0.5, 0.9):
+        assert back.query(q) == sk.query(q)
+
+
+def test_deterministic():
+    vals = np.sin(np.arange(50_000) * 0.7) * 100
+    a = QuantileSketch(k=128).add(vals)
+    b = QuantileSketch(k=128).add(vals)
+    for q in (0.2, 0.5, 0.8):
+        assert a.query(q) == b.query(q)
+
+
+def test_rejects_bad_k():
+    with pytest.raises(ValueError):
+        QuantileSketch(k=3)
+    with pytest.raises(ValueError):
+        QuantileSketch(k=127)
+
+
+def test_distributed_sketch_vs_exact(ray_session):
+    """The Dataset pipeline (per-batch partials -> one bounded reducer)
+    lands within 1% rank error of exact quantiles on the events table."""
+    import pyarrow.parquet as pq
+    import ray
+
+    sf = "/root/testdata/sf0.01"
+    tbl = pq.read_table(f"{sf}/events.parquet", columns=["value"])
+    vals = tbl.column("value").to_numpy()
+    ds = ray.data.read_parquet(f"{sf}/events.parquet")
+    qs = [0.1, 0.5, 0.9, 0.99]
+    out = quantile_sketch_column(ds, "value", qs, k=256).to_pandas()
+    assert out["n"].iloc[0] == len(vals)
+    for _, row in out.iterrows():
+        err = _rank_error(vals, row["value"], row["q"])
+        assert err < 0.01, (row["q"], err)
