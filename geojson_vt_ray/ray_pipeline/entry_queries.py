@@ -255,6 +255,16 @@ def q_img_hex_density(sf_dir: str):
     return hex_smoothed_density(_image_points(sf_dir), res=3, k=1)
 
 
+def q_doc_top_tokens(sf_dir: str):
+    """Global top-20 token frequencies (heavy-hitter wordcount): batch
+    pre-aggregation -> partial-sum groupby -> tiny sorted head. Oracled
+    (exact counts; ties by token ascending)."""
+    from .text import top_tokens
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return top_tokens(docs, k=20)
+
+
 def q_events_value_sketch(sf_dir: str):
     """Approximate quantiles of events.value via the mergeable MRL
     compactor sketch (`sketch.py`) — the no-sort scale path next to the
@@ -838,6 +848,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_distinct_users": q_events_distinct_users,
     "events_hll_users": q_events_hll_users,
     "events_value_sketch": q_events_value_sketch,
+    "doc_top_tokens": q_doc_top_tokens,
     "ann_ivf_topk": q_ann_ivf_topk,
     "img_embed_topk": q_img_embed_topk,
     "video_frames": q_video_frames,
@@ -1139,6 +1150,13 @@ ORACLES: dict[str, str] = {
         SELECT CAST(hexcnt.cell + (dq * 16777216 + dr) AS BIGINT) AS hex_cell,
                CAST(SUM(n) AS BIGINT) AS smoothed
         FROM hexcnt, hexoffs GROUP BY 1
+    """,
+    "doc_top_tokens": """
+        SELECT token, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
     """,
     "doc_token_stats": """
         SELECT doc_id,

@@ -714,3 +714,36 @@ def simhash_dedup_clusters(
         .groupby("cbucket")
         .map_groups(attach_size, batch_format="pyarrow")
     )
+
+
+def top_tokens(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
+    """Global top-k most frequent tokens (single-space split, same
+    convention as `token_stats`) — the heavy-hitter wordcount shape.
+
+    Scale: the token explosion never shuffles raw tokens per occurrence;
+    each batch pre-aggregates to (token, count) partials (np.unique over
+    the batch's whole token array), the groupby sums partials, and only
+    the tiny sorted head leaves. Ties break by token ascending, matching
+    the SQL oracle's ORDER BY n DESC, token."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks: list[str] = []
+        for t in texts:
+            toks.extend(t.split(" "))
+        vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(vals.astype(str), pa.string()),
+                "n": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        docs.select_columns(["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)

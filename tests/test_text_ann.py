@@ -206,3 +206,27 @@ def test_fingerprint_order_sensitivity(ray_session):
            for r in fingerprints(_docs_ds(["a b c", "c b a", "a b c"])).iter_rows()}
     assert out[0] == out[2]
     assert out[0] != out[1]
+
+
+def test_top_tokens_matches_local_counter(ray_session):
+    """Distributed heavy-hitter wordcount equals a local Counter, with
+    deterministic (count desc, token asc) boundary ties."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.text import top_tokens
+
+    texts = [
+        "a b b c c c dd dd dd dd",
+        "a a e  e",  # double space -> empty token, counted like SQL's split
+        "c dd a b e zz",
+    ]
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = top_tokens(ds, k=4).to_pandas()
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split(" "))
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(map(tuple, got[["token", "n"]].itertuples(index=False))) == want
