@@ -265,6 +265,17 @@ def q_doc_top_tokens(sf_dir: str):
     return top_tokens(docs, k=20)
 
 
+def q_doc_heavy_hitters(sf_dir: str):
+    """Approximate top tokens via the mergeable Misra-Gries sketch
+    (`sketch.py::heavy_hitter_tokens`) — bounded-state counterpart of
+    the exact doc_top_tokens for token spaces too large for a groupby.
+    No SQL oracle (approximate); pytest pins the MG guarantee vs exact."""
+    from .sketch import heavy_hitter_tokens
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitter_tokens(docs, k_track=1024, k_out=20)
+
+
 def q_events_value_sketch(sf_dir: str):
     """Approximate quantiles of events.value via the mergeable MRL
     compactor sketch (`sketch.py`) — the no-sort scale path next to the
@@ -849,6 +860,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hll_users": q_events_hll_users,
     "events_value_sketch": q_events_value_sketch,
     "doc_top_tokens": q_doc_top_tokens,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "img_embed_topk": q_img_embed_topk,
     "video_frames": q_video_frames,

@@ -155,3 +155,112 @@ def quantile_sketch_column(
     return partials.repartition(1).map_batches(
         final, batch_format="pyarrow", batch_size=None
     )
+
+
+class FrequencySketch:
+    """Mergeable Misra–Gries heavy-hitter sketch with ≤ k counters.
+
+    Estimates are lower bounds: true_count - err <= est <= true_count,
+    where err is the total decrement offset this sketch has applied
+    (tracked exactly in `self.offset`; always <= n/(k+1)). Merging sums
+    counters then re-compacts to k by subtracting the (k+1)-th largest
+    count — the standard mergeable-MG construction, deterministic, so
+    partial sketches built per batch combine into one bounded-error
+    global sketch without ever shuffling raw occurrences."""
+
+    def __init__(self, k: int = 1024) -> None:
+        if k < 1:
+            raise ValueError("k >= 1")
+        self.k = int(k)
+        self.counts: dict[str, int] = {}
+        self.n = 0
+        self.offset = 0  # exact upper bound on undercounting
+
+    def add_counts(self, items: np.ndarray, counts: np.ndarray) -> "FrequencySketch":
+        """Fold exact (item, count) pairs (e.g. a batch's np.unique) in."""
+        for it, c in zip(items.tolist(), counts.tolist()):
+            self.counts[it] = self.counts.get(it, 0) + int(c)
+        self.n += int(counts.sum())
+        self._compact()
+        return self
+
+    def merge(self, other: "FrequencySketch") -> "FrequencySketch":
+        for it, c in other.counts.items():
+            self.counts[it] = self.counts.get(it, 0) + c
+        self.n += other.n
+        self.offset += other.offset
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        # subtract the (k+1)-th largest value from every counter
+        cut = int(np.partition(vals, -(self.k + 1))[-(self.k + 1)])
+        self.offset += cut
+        self.counts = {it: c - cut for it, c in self.counts.items() if c > cut}
+
+    def top(self, k_out: int) -> list[tuple[str, int, int]]:
+        """(item, est_lower_bound, err) for the k_out largest estimates,
+        ties by item ascending; true count ∈ [est, est + err]."""
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k_out]
+        return [(it, c, self.offset) for it, c in items]
+
+
+def heavy_hitter_tokens(
+    docs: "ray.data.Dataset",
+    k_track: int = 1024,
+    k_out: int = 20,
+) -> "ray.data.Dataset":
+    """Approximate top tokens via per-batch Misra–Gries partials merged
+    by ONE bounded reducer — the sketch counterpart of `text.top_tokens`
+    (exact). At token cardinalities where the exact groupby's key space
+    explodes, this caps state at k_track counters per partial and ships
+    only (token, count, offset) rows. Guarantee: any token with true
+    frequency > n/(k_track+1) survives, and every reported estimate is
+    within the reported `err` of truth (asserted vs exact in tests)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in batch.column("text").to_pylist():
+            toks.extend(t.split(" "))
+        vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        sk = FrequencySketch(k_track).add_counts(vals, cnts)
+        items = list(sk.counts.items())
+        # one null-token MARKER row per partial carries (offset, n) exactly
+        # once, so the reducer's sums stay exact even if two partials are
+        # byte-identical
+        return pa.table(
+            {
+                "token": pa.array([it for it, _ in items] + [None], pa.string()),
+                "cnt": pa.array([c for _, c in items] + [0], type=pa.int64()),
+                "offset": pa.array([0] * len(items) + [sk.offset], pa.int64()),
+                "n": pa.array([0] * len(items) + [sk.n], pa.int64()),
+            }
+        )
+
+    partials = docs.select_columns(["text"]).map_batches(partial, batch_format="pyarrow")
+
+    def final(batch: pa.Table) -> pa.Table:
+        sk = FrequencySketch(k_track)
+        toks = batch.column("token").to_pylist()
+        cnts = batch.column("cnt").to_numpy()
+        for it, c in zip(toks, cnts.tolist()):
+            if it is not None:
+                sk.counts[it] = sk.counts.get(it, 0) + int(c)
+        sk.offset = int(batch.column("offset").to_numpy().sum())
+        sk.n = int(batch.column("n").to_numpy().sum())
+        sk._compact()
+        rows = sk.top(k_out)
+        return pa.table(
+            {
+                "token": pa.array([r[0] for r in rows], pa.string()),
+                "est": pa.array([r[1] for r in rows], type=pa.int64()),
+                "err": pa.array([r[2] for r in rows], type=pa.int64()),
+            }
+        )
+
+    return partials.repartition(1).map_batches(
+        final, batch_format="pyarrow", batch_size=None
+    )

@@ -94,3 +94,62 @@ def test_distributed_sketch_vs_exact(ray_session):
     for _, row in out.iterrows():
         err = _rank_error(vals, row["value"], row["q"])
         assert err < 0.01, (row["q"], err)
+
+
+def test_frequency_sketch_mg_guarantee():
+    """Misra-Gries invariants on a skewed stream: every reported estimate
+    is a lower bound within `offset` of truth, offset <= n/(k+1), and all
+    items with true count > n/(k+1) survive."""
+    from collections import Counter
+
+    from geojson_vt_ray.ray_pipeline.sketch import FrequencySketch
+
+    r = np.random.default_rng(11)
+    # zipf-ish: heavy head + long tail
+    items = np.concatenate(
+        [np.repeat([f"hot{i}" for i in range(5)], [4000, 2500, 1500, 900, 600]),
+         np.asarray([f"t{v}" for v in r.integers(0, 40_000, size=30_000)])]
+    )
+    r.shuffle(items)
+    truth = Counter(items.tolist())
+    k = 64
+    sk = FrequencySketch(k)
+    for chunk in np.array_split(items, 23):
+        vals, cnts = np.unique(chunk, return_counts=True)
+        sk.merge(FrequencySketch(k).add_counts(vals, cnts))
+    n = len(items)
+    assert sk.n == n
+    assert sk.offset <= n // (k + 1) + 1
+    for it, est, err in sk.top(10):
+        assert est <= truth[it] <= est + err
+    survivors = set(sk.counts)
+    for it, c in truth.items():
+        if c > n / (k + 1):
+            assert it in survivors, (it, c)
+
+
+def test_heavy_hitter_tokens_distributed(ray_session):
+    """Distributed MG pipeline: top tokens agree with exact wordcount
+    within the reported error bound on the documents table."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.sketch import heavy_hitter_tokens
+
+    sf = "/root/testdata/sf0.01"
+    texts = pq.read_table(f"{sf}/documents.parquet", columns=["text"]).column(
+        "text"
+    ).to_pylist()
+    truth = Counter()
+    for t in texts:
+        truth.update(t.split(" "))
+    ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text"])
+    out = heavy_hitter_tokens(ds, k_track=512, k_out=10).to_pandas()
+    assert len(out) == 10
+    exact_top = [t for t, _ in sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    for _, row in out.iterrows():
+        assert row["est"] <= truth[row["token"]] <= row["est"] + row["err"]
+    # with k_track >> distinct hot tokens the sketch recovers the exact head
+    assert set(out["token"]) == set(exact_top)
