@@ -146,6 +146,18 @@ def run_benchmarks() -> dict:
         .count(),
     )
 
+    from geojson_vt_ray.ray_pipeline.cells import with_s2_cell_id
+
+    timed(
+        "img_s2_assign_2m",
+        lambda: with_s2_cell_id(image_dataset(n_imgs, with_bytes=False), level=12)
+        .map_batches(
+            lambda b: b.group_by(["s2_cell"]).aggregate([("s2_cell", "count")]),
+            batch_format="pyarrow",
+        )
+        .count(),
+    )
+
     rects = rect_table(np.arange(1, 2001))
     timed(
         "img_rect_join_500k",
