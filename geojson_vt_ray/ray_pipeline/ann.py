@@ -82,7 +82,7 @@ def brute_force_topk(
             thresh = np.take_along_axis(sims, part, axis=1).min(axis=1)
             qi, pi = np.nonzero(sims >= thresh[:, None])  # widen boundary ties
         else:
-            qi, pi = np.nonzero(np.ones(sims.shape, dtype=bool))
+            qi, pi = np.divmod(np.arange(sims.size), sims.shape[1])
         return pa.table(
             {
                 "query_id": pa.array(qids[qi].astype(np.int64), pa.int64()),

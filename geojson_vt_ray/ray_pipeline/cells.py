@@ -301,12 +301,12 @@ def hex_radius_knn_join(
     edge-adjacent cells. Verified against a brute-force all-pairs
     reference in tests."""
     from ..datagen.images import mercator_xy
-    from ..kernels.hex import hex_cell, hex_disk, hex_size
+    from ..kernels.hex import MAX_RES, hex_cell, hex_disk, hex_size
 
     if res is None:
         # finest resolution whose apothem still covers the radius
         res = 0
-        while res < 19 and hex_size(res + 1) * np.sqrt(3.0) / 2.0 >= radius:
+        while res < MAX_RES and hex_size(res + 1) * np.sqrt(3.0) / 2.0 >= radius:
             res += 1
     apothem = hex_size(res) * np.sqrt(3.0) / 2.0
     if radius > apothem:

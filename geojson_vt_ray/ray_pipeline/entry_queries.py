@@ -1032,12 +1032,25 @@ hexc AS (
   SELECT doc_id, CAST(fq AS BIGINT) * 16777216 + CAST(fr AS BIGINT) AS cell FROM hexfix)"""
 
 
-def _s2_id_expr(level: int) -> str:
-    """S2CellId packing (face<<61 | pos<<shift | sentinel) as two's-
-    complement BIGINT, computed in HUGEINT to dodge int64 overflow for
-    faces >= 4."""
+def _s2_hug_expr(level: int) -> str:
+    """S2CellId packing (face<<61 | pos<<shift | sentinel) over (face,
+    pos) columns, in HUGEINT. All powers of two are EXACT integer
+    literals cast to HUGEINT — DuckDB's `**` operator returns DOUBLE,
+    which would silently round the packing sum once 2·level + 4 exceeds
+    the 53-bit mantissa (level >= 25)."""
     shift = 61 - 2 * level
-    return f"""CAST(CASE WHEN hug >= CAST(2 AS HUGEINT)**63 THEN hug - CAST(2 AS HUGEINT)**64 ELSE hug END AS BIGINT)"""
+    return (
+        f"CAST(face AS HUGEINT) * CAST('{1 << 61}' AS HUGEINT)"
+        f" + pos * CAST('{1 << shift}' AS HUGEINT)"
+        f" + CAST('{1 << (shift - 1)}' AS HUGEINT)"
+    )
+
+
+# uint64 -> int64 two's complement over a HUGEINT column named `hug`
+_S2_TO_BIGINT = (
+    f"CAST(CASE WHEN hug >= CAST('{1 << 63}' AS HUGEINT)"
+    f" THEN hug - CAST('{1 << 64}' AS HUGEINT) ELSE hug END AS BIGINT)"
+)
 
 
 _STOPWORDS_SQL = ", ".join(
@@ -1114,20 +1127,13 @@ ORACLES: dict[str, str] = {
     """,
     "img_s2_assign": f"""
         WITH {_s2_cte(10)}
-        SELECT image_id, {_s2_id_expr(10)} AS s2_cell
-        FROM (SELECT {IMG_ID} AS image_id,
-                CAST(face AS HUGEINT) * (CAST(2 AS HUGEINT)**61)
-                + pos * (CAST(2 AS HUGEINT)**{61 - 2 * 10})
-                + (CAST(2 AS HUGEINT)**{61 - 2 * 10 - 1}) AS hug
-              FROM s2h10)
+        SELECT image_id, {_S2_TO_BIGINT} AS s2_cell
+        FROM (SELECT {IMG_ID} AS image_id, {_s2_hug_expr(10)} AS hug FROM s2h10)
     """,
     "img_s2_counts": f"""
         WITH {_s2_cte(7)}
-        SELECT {_s2_id_expr(7)} AS s2_cell, count(*) AS n_images
-        FROM (SELECT CAST(face AS HUGEINT) * (CAST(2 AS HUGEINT)**61)
-                + pos * (CAST(2 AS HUGEINT)**{61 - 2 * 7})
-                + (CAST(2 AS HUGEINT)**{61 - 2 * 7 - 1}) AS hug
-              FROM s2h7)
+        SELECT {_S2_TO_BIGINT} AS s2_cell, count(*) AS n_images
+        FROM (SELECT {_s2_hug_expr(7)} AS hug FROM s2h7)
         GROUP BY 1
     """,
     "img_hex_knn": f"""

@@ -221,11 +221,10 @@ def heavy_hitter_tokens(
     frequency > n/(k_track+1) survives, and every reported estimate is
     within the reported `err` of truth (asserted vs exact in tests)."""
 
+    from .text import batch_token_counts
+
     def partial(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend(t.split(" "))
-        vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        vals, cnts = batch_token_counts(batch)
         sk = FrequencySketch(k_track).add_counts(vals, cnts)
         items = list(sk.counts.items())
         # one null-token MARKER row per partial carries (offset, n) exactly

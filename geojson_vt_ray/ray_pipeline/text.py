@@ -716,6 +716,16 @@ def simhash_dedup_clusters(
     )
 
 
+def batch_token_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (token, count) pairs for a batch's `text` column —
+    single-space split, the one tokenization convention shared by
+    `token_stats`, `top_tokens` and the MG sketch (sketch.py)."""
+    toks: list[str] = []
+    for t in batch.column("text").to_pylist():
+        toks.extend(t.split(" "))
+    return np.unique(np.asarray(toks, dtype=object), return_counts=True)
+
+
 def top_tokens(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
     """Global top-k most frequent tokens (single-space split, same
     convention as `token_stats`) — the heavy-hitter wordcount shape.
@@ -728,11 +738,7 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        toks: list[str] = []
-        for t in texts:
-            toks.extend(t.split(" "))
-        vals, cnts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        vals, cnts = batch_token_counts(batch)
         return pa.table(
             {
                 "token": pa.array(vals.astype(str), pa.string()),

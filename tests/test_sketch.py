@@ -14,13 +14,17 @@ def _rank_error(values: np.ndarray, estimate: float, q: float) -> float:
 
 
 def test_exact_below_capacity():
-    """With fewer than k values nothing compacts: queries are exact."""
+    """With fewer than k values nothing compacts: the query is the exact
+    order statistic (first value whose rank reaches ceil(q*n))."""
     r = np.random.default_rng(1)
-    vals = r.normal(size=200)
+    n = 200
+    vals = r.normal(size=n)
     sk = QuantileSketch(k=256).add(vals)
     s = np.sort(vals)
-    for q in (0.0, 0.25, 0.5, 0.9):
-        assert sk.query(q) == s[min(int(np.ceil(q * 200)), 199)] or sk.query(q) in s
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        # all weights are 1, so query() returns s[searchsorted(1..n, q*n)]
+        want = s[min(int(np.searchsorted(np.arange(1, n + 1), q * n)), n - 1)]
+        assert sk.query(q) == want, q
 
 
 def test_bounded_rank_error_large_stream():
