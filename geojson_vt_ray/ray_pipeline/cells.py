@@ -358,3 +358,76 @@ def hex_radius_knn_join(
     return survivors.groupby("query_id").map_groups(
         _radius_topk(k, exclude_self), batch_format="pyarrow"
     )
+
+
+def geo_knn_join(
+    points: "ray.data.Dataset",
+    query_phash: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    exclude_self: bool = True,
+) -> "ray.data.Dataset":
+    """Exact GEODESIC kNN: brute-force against the full point set,
+    ordered by great-circle distance on the unit sphere.
+
+    Distances are compared as squared chord length |p-q|² of the
+    exp-based sphere projection (`kernels.s2.mercator_to_xyz`): chord is
+    strictly monotone in great-circle angle, so the top-k and its order
+    are exactly the geodesic ones with NO trig beyond the projection —
+    which keeps the DuckDB oracle bit-equal (same float64 expression
+    tree). Planar-mercator kNN (`spatial.knn_join`) distorts near the
+    poles; this is the geodesically-correct variant. Same shape: batch
+    partial top-k (boundary ties widened) + tiny per-query merge."""
+    from ..kernels.s2 import mercator_to_xyz
+    from ..datagen.images import mercator_xy
+
+    qmx, qmy = mercator_xy(np.asarray(query_phash))
+    qx, qy, qz = mercator_to_xyz(qmx, qmy)
+    refs = ray.put((qx, qy, qz, np.asarray(query_ids)))
+
+    def partial_fn(batch: pa.Table) -> pa.Table:
+        qx_l, qy_l, qz_l, qids = ray.get(refs)
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        x, y, z = mercator_to_xyz(mx, my)
+        dx = x[None, :] - qx_l[:, None]
+        dy = y[None, :] - qy_l[:, None]
+        dz = z[None, :] - qz_l[:, None]
+        d2 = dx * dx + dy * dy + dz * dz  # (Q, B) squared chord
+        ids_arr = batch.column("image_id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        kk = min(k + 1 if exclude_self else k, d2.shape[1])
+        if kk < d2.shape[1]:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            thresh = np.take_along_axis(d2, part, axis=1).max(axis=1)
+            qi, pi = np.nonzero(d2 <= thresh[:, None])  # widen boundary ties
+        else:
+            qi, pi = np.divmod(np.arange(d2.size), d2.shape[1])
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(qids)[qi].astype(np.int64), pa.int64()),
+                "neighbor_id": ids_arr.take(pa.array(pi)),
+                "chord2": pa.array(d2[qi, pi], pa.float64()),
+            }
+        )
+
+    partial = points.map_batches(partial_fn, batch_format="pyarrow")
+
+    import pyarrow.compute as pc
+
+    def merge(g: pa.Table) -> pa.Table:
+        if exclude_self:
+            qid = int(g.column("query_id")[0].as_py())
+            g = g.filter(pc.not_equal(g.column("neighbor_id"), f"img-{qid:012d}"))
+        idx = pc.sort_indices(
+            g, sort_keys=[("chord2", "ascending"), ("neighbor_id", "ascending")]
+        )
+        top = g.take(idx[:k])
+        # rank column: the hash-stable face of the result (the raw chord²
+        # floats can differ from a SQL oracle by 1 ulp — numpy's SIMD
+        # cos/sin vs libm — without changing the order)
+        return top.append_column(
+            "rank", pa.array(np.arange(1, top.num_rows + 1, dtype=np.int64))
+        )
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -177,6 +177,28 @@ def q_img_hex_knn(sf_dir: str):
     return hex_radius_knn_join(_image_points(sf_dir), queries, radius=0.05, k=5)
 
 
+def q_img_knn_geo(sf_dir: str):
+    """Exact GEODESIC kNN (great-circle order via squared chord on the
+    unit sphere — `cells.geo_knn_join`): the pole-correct variant of
+    img_knn. Oracled: the SQL mirrors the exp-based sphere projection
+    and the chord² expression tree bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ..datagen.images import phash_of_index_vec
+    from .cells import geo_knn_join
+
+    doc_ids = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).column(
+        "doc_id"
+    ).to_numpy()
+    qidx = doc_ids[doc_ids % 101 == 0] + 1
+    qph = phash_of_index_vec(qidx)
+    res = geo_knn_join(_image_points(sf_dir), qph, qidx, k=5)
+    # hash-compare (query, neighbor, rank): the chord² float itself can
+    # sit 1 ulp from the oracle's (vectorized vs libm trig) while the
+    # geodesic ORDER — the thing this operator asserts — is identical
+    return res.select_columns(["query_id", "neighbor_id", "rank"])
+
+
 def q_img_cell_assign(sf_dir: str):
     """Morton (Z-order) cell id at level 8 per image — the SQL-oracled
     face of the curve-cell index (hilbert is pytest-verified against a
@@ -826,6 +848,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_cell_counts": q_img_cell_counts,
     "img_s2_assign": q_img_s2_assign,
     "img_s2_counts": q_img_s2_counts,
+    "img_knn_geo": q_img_knn_geo,
     "img_hex_knn": q_img_hex_knn,
     "img_hex_assign": q_img_hex_assign,
     "img_hex_counts": q_img_hex_counts,
@@ -1135,6 +1158,34 @@ ORACLES: dict[str, str] = {
         SELECT {_S2_TO_BIGINT} AS s2_cell, count(*) AS n_images
         FROM (SELECT {_s2_hug_expr(7)} AS hug FROM s2h7)
         GROUP BY 1
+    """,
+    "img_knn_geo": f"""
+        WITH gxy AS (
+          SELECT doc_id + 1 AS idx,
+                 {IMG_ID} AS image_id,
+                 ({LNG} / 4294967296.0 - 0.5) * (2*pi()) AS lon,
+                 exp(pi() * (1.0 - 2.0 * ({LAT} / 2147483648.0))) AS e
+          FROM documents),
+        gsph AS (
+          SELECT idx, image_id,
+            (2.0/(e + 1.0/e))*cos(lon) AS x,
+            (2.0/(e + 1.0/e))*sin(lon) AS y,
+            (e - 1.0/e)/(e + 1.0/e) AS z
+          FROM gxy),
+        gq AS (SELECT * FROM gsph WHERE (idx - 1) % 101 = 0)
+        SELECT query_id, neighbor_id, rn AS rank FROM (
+          SELECT gq.idx AS query_id, i.image_id AS neighbor_id,
+                 (i.x - gq.x) * (i.x - gq.x) + (i.y - gq.y) * (i.y - gq.y)
+                   + (i.z - gq.z) * (i.z - gq.z) AS chord2,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY gq.idx
+                   ORDER BY (i.x - gq.x) * (i.x - gq.x) + (i.y - gq.y) * (i.y - gq.y)
+                              + (i.z - gq.z) * (i.z - gq.z),
+                            i.image_id
+                 ) AS rn
+          FROM gsph i, gq
+          WHERE i.idx != gq.idx
+        ) WHERE rn <= 5
     """,
     "img_hex_knn": f"""
         WITH {IMG_SQL_CTE},

@@ -195,3 +195,101 @@ def test_with_cell_id_and_counts(ray_session):
     got = counts.sort_values("cell").reset_index(drop=True)
     assert np.array_equal(got["cell"].to_numpy(), vals)
     assert np.array_equal(got["count()"].to_numpy(), cnts)
+
+
+def test_geo_knn_matches_bruteforce(ray_session):
+    """geo_knn_join == local spherical-chord brute force by (query,
+    neighbor, rank)."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.datagen.images import mercator_xy, phash_of_index_vec
+    from geojson_vt_ray.kernels.s2 import mercator_to_xyz
+    from geojson_vt_ray.ray_pipeline.cells import geo_knn_join
+
+    idx = np.arange(1, 700, dtype=np.int64)
+    ph = phash_of_index_vec(idx)
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{i:012d}" for i in idx.tolist()]),
+                "phash": pa.array(ph),
+            }
+        )
+    )
+    qidx = idx[idx % 53 == 0]
+    k = 4
+    got = (
+        geo_knn_join(pts, phash_of_index_vec(qidx), qidx, k=k)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+
+    mx, my = mercator_xy(ph)
+    x, y, z = mercator_to_xyz(mx, my)
+    rows = []
+    for qi in qidx.tolist():
+        j = qi - 1
+        d2 = (x - x[j]) ** 2 + (y - y[j]) ** 2 + (z - z[j]) ** 2
+        order = np.lexsort((idx, d2))
+        rank = 0
+        for t in order:
+            if idx[t] == qi:
+                continue
+            rank += 1
+            rows.append((qi, f"img-{idx[t]:012d}", rank))
+            if rank == k:
+                break
+    import pandas as pd
+
+    want = pd.DataFrame(rows, columns=["query_id", "neighbor_id", "rank"])
+    pd.testing.assert_frame_equal(
+        got[["query_id", "neighbor_id", "rank"]], want
+    )
+
+
+def test_geo_knn_differs_from_planar_near_poles(ray_session):
+    """Why the geodesic variant exists: near the poles the planar
+    mercator metric inflates longitudinal distance, so planar and
+    geodesic kNN disagree — construct such a case and check geo_knn's
+    pick is the true great-circle nearest."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.kernels.s2 import mercator_to_xyz
+    from geojson_vt_ray.ray_pipeline.cells import geo_knn_join
+    from geojson_vt_ray.datagen.images import mercator_xy
+
+    # phash packs (lat_bits << 32) | lng_bits
+    def mk_phash(mx, my):
+        return np.int64((int(my * (1 << 31)) << 32) | int(mx * (1 << 32)))
+
+    # query at high latitude (my near 0 = far north). Candidate A: same
+    # latitude, 0.3 world-x away (planar 0.3, geodesic small because the
+    # parallel circle is short up there). Candidate B: south by 0.23
+    # world-y (planar 0.23 < 0.3, but geodesically farther than A — the
+    # mercator y axis is stretched near the pole).
+    q = mk_phash(0.50, 0.02)
+    a = mk_phash(0.80, 0.02)
+    b = mk_phash(0.50, 0.25)
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array(["img-a", "img-b"]),
+                "phash": pa.array([a, b]),
+            }
+        )
+    )
+    got = geo_knn_join(
+        pts, np.array([q]), np.array([1]), k=1, exclude_self=False
+    ).to_pandas()
+    # planar would pick B (0.05 < 0.2); geodesic must pick A
+    mxs, mys = mercator_xy(np.array([q, a, b]))
+    xs, ys, zs = mercator_to_xyz(mxs, mys)
+    d2a = (xs[1] - xs[0]) ** 2 + (ys[1] - ys[0]) ** 2 + (zs[1] - zs[0]) ** 2
+    d2b = (xs[2] - xs[0]) ** 2 + (ys[2] - ys[0]) ** 2 + (zs[2] - zs[0]) ** 2
+    assert d2a < d2b  # construction sanity: A is geodesically nearer
+    planar = (mxs[1:] - mxs[0]) ** 2 + (mys[1:] - mys[0]) ** 2
+    assert planar[1] < planar[0]  # ...while planar prefers B
+    assert got["neighbor_id"].tolist() == ["img-a"]
