@@ -431,3 +431,71 @@ def geo_knn_join(
         )
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def hilbert_bbox_ranges(
+    x0: float, y0: float, x1: float, y1: float, level: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decompose a mercator-aligned bbox into contiguous HILBERT id
+    ranges at `level` — the classic space-filling-curve index read:
+    because the curve is locality-preserving, a compact bbox covers few
+    contiguous ranges (O(perimeter), not O(area) — asserted in tests),
+    so a sorted-by-cell table serves the bbox with few range scans.
+
+    Returns (starts, ends), inclusive, sorted."""
+    n = 1 << level
+    cx0 = max(0, min(n - 1, int(np.floor(x0 * n))))
+    cy0 = max(0, min(n - 1, int(np.floor(y0 * n))))
+    cx1 = max(0, min(n - 1, int(np.floor(x1 * n))))
+    cy1 = max(0, min(n - 1, int(np.floor(y1 * n))))
+    gx, gy = np.meshgrid(
+        np.arange(cx0, cx1 + 1, dtype=np.uint64),
+        np.arange(cy0, cy1 + 1, dtype=np.uint64),
+    )
+    ids = np.sort(hilbert_encode(gx.ravel(), gy.ravel(), level))
+    # compress consecutive ids into inclusive ranges
+    breaks = np.nonzero(np.diff(ids) > 1)[0]
+    starts = np.concatenate([[ids[0]], ids[breaks + 1]])
+    ends = np.concatenate([ids[breaks], [ids[-1]]])
+    return starts.astype(np.int64), ends.astype(np.int64)
+
+
+def range_query_bbox(
+    points: "ray.data.Dataset",
+    bbox: tuple[float, float, float, float],
+    level: int = 8,
+) -> "ray.data.Dataset":
+    """Exact bbox query served through the hilbert-cell index: each batch
+    first prunes by curve-range membership (two searchsorted lookups per
+    row against the broadcast range table — the analogue of row-group
+    pruning on a cell-sorted table), then applies the exact coordinate
+    post-filter. Output: (image_id, mx, my) inside [x0,x1) × [y0,y1)."""
+    from ..datagen.images import mercator_xy, tile_xy
+
+    x0, y0, x1, y1 = bbox
+    starts, ends = hilbert_bbox_ranges(x0, y0, x1, y1, level)
+    refs = ray.put((starts, ends))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        starts_l, ends_l = ray.get(refs)
+        ph = batch.column("phash").to_numpy()
+        cx, cy = tile_xy(ph, level)
+        cid = hilbert_encode(cx, cy, level).astype(np.int64)
+        # prune: id falls in some [start, end] range
+        pos = np.searchsorted(starts_l, cid, side="right") - 1
+        cand = (pos >= 0) & (cid <= ends_l[np.clip(pos, 0, len(ends_l) - 1)])
+        mx, my = mercator_xy(ph)
+        keep = cand & (mx >= x0) & (mx < x1) & (my >= y0) & (my < y1)
+        ids_arr = batch.column("image_id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        sel = np.nonzero(keep)[0]
+        return pa.table(
+            {
+                "image_id": ids_arr.take(pa.array(sel)),
+                "mx": pa.array(mx[sel]),
+                "my": pa.array(my[sel]),
+            }
+        )
+
+    return points.map_batches(fn, batch_format="pyarrow")

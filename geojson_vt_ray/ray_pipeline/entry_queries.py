@@ -199,6 +199,17 @@ def q_img_knn_geo(sf_dir: str):
     return res.select_columns(["query_id", "neighbor_id", "rank"])
 
 
+def q_img_range_query(sf_dir: str):
+    """Exact bbox query through the hilbert-curve index
+    (`cells.range_query_bbox`): bbox -> compressed curve-id ranges ->
+    per-batch searchsorted pruning -> exact coordinate post-filter.
+    Oracled against a plain WHERE on (mx, my); coordinates are exact
+    dyadic divisions so they hash bit-equal."""
+    from .cells import range_query_bbox
+
+    return range_query_bbox(_image_points(sf_dir), (0.2, 0.3, 0.45, 0.55), level=8)
+
+
 def q_img_cell_assign(sf_dir: str):
     """Morton (Z-order) cell id at level 8 per image — the SQL-oracled
     face of the curve-cell index (hilbert is pytest-verified against a
@@ -849,6 +860,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_s2_assign": q_img_s2_assign,
     "img_s2_counts": q_img_s2_counts,
     "img_knn_geo": q_img_knn_geo,
+    "img_range_query": q_img_range_query,
     "img_hex_knn": q_img_hex_knn,
     "img_hex_assign": q_img_hex_assign,
     "img_hex_counts": q_img_hex_counts,
@@ -1158,6 +1170,11 @@ ORACLES: dict[str, str] = {
         SELECT {_S2_TO_BIGINT} AS s2_cell, count(*) AS n_images
         FROM (SELECT {_s2_hug_expr(7)} AS hug FROM s2h7)
         GROUP BY 1
+    """,
+    "img_range_query": f"""
+        WITH {IMG_SQL_CTE}
+        SELECT image_id, mx, my FROM img
+        WHERE mx >= 0.2 AND mx < 0.45 AND my >= 0.3 AND my < 0.55
     """,
     "img_knn_geo": f"""
         WITH gxy AS (

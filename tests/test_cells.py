@@ -293,3 +293,56 @@ def test_geo_knn_differs_from_planar_near_poles(ray_session):
     planar = (mxs[1:] - mxs[0]) ** 2 + (mys[1:] - mys[0]) ** 2
     assert planar[1] < planar[0]  # ...while planar prefers B
     assert got["neighbor_id"].tolist() == ["img-a"]
+
+
+def test_hilbert_bbox_ranges_compact_and_exact():
+    """Range decomposition covers exactly the bbox cells, and the range
+    count is O(perimeter): far fewer ranges than cells for a fat bbox
+    (the property that makes curve-sorted range scans cheap)."""
+    from geojson_vt_ray.ray_pipeline.cells import hilbert_bbox_ranges
+
+    level = 8
+    n = 1 << level
+    x0, y0, x1, y1 = 0.2, 0.3, 0.45, 0.55
+    starts, ends = hilbert_bbox_ranges(x0, y0, x1, y1, level)
+    assert np.all(starts <= ends)
+    assert np.all(starts[1:] > ends[:-1] + 1)  # maximally compressed
+    covered = np.concatenate(
+        [np.arange(s, e + 1, dtype=np.uint64) for s, e in zip(starts, ends)]
+    )
+    # exact cover of the cell rectangle
+    gx, gy = np.meshgrid(
+        np.arange(int(x0 * n), int(x1 * n) + 1, dtype=np.uint64),
+        np.arange(int(y0 * n), int(y1 * n) + 1, dtype=np.uint64),
+    )
+    want = np.sort(hilbert_encode(gx.ravel(), gy.ravel(), level))
+    np.testing.assert_array_equal(np.sort(covered), want)
+    n_cells = len(want)
+    assert len(starts) < n_cells / 4  # compact: ranges ~ perimeter, not area
+
+
+def test_range_query_bbox_matches_filter(ray_session):
+    """Index-pruned bbox query == direct coordinate filter."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.datagen.images import mercator_xy, phash_of_index_vec
+    from geojson_vt_ray.ray_pipeline.cells import range_query_bbox
+
+    idx = np.arange(1, 3000, dtype=np.int64)
+    ph = phash_of_index_vec(idx)
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{i:012d}" for i in idx.tolist()]),
+                "phash": pa.array(ph),
+            }
+        )
+    )
+    bbox = (0.1, 0.62, 0.33, 0.9)
+    got = range_query_bbox(pts, bbox, level=7).to_pandas().sort_values("image_id")
+    mx, my = mercator_xy(ph)
+    m = (mx >= bbox[0]) & (mx < bbox[2]) & (my >= bbox[1]) & (my < bbox[3])
+    assert got["image_id"].tolist() == [f"img-{i:012d}" for i in idx[m].tolist()]
+    np.testing.assert_array_equal(got["mx"].to_numpy(), mx[m])
+    np.testing.assert_array_equal(got["my"].to_numpy(), my[m])
