@@ -46,13 +46,35 @@ class ImageDecoder:
         self.dequant = (((np.arange(256, dtype=np.uint16) << 2) | 2).clip(0, 255)).astype(np.uint8)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import zlib
+
+        from ..datagen.images import MAGIC_QLOSSY
+
         blobs = batch.column("bytes").to_pylist()
-        means = np.empty((len(blobs), 3), dtype=np.float64)
-        npix = np.empty(len(blobs), dtype=np.int64)
-        for j, blob in enumerate(blobs):
-            px = decode_image(blob)
-            means[j] = px.reshape(3, -1).mean(axis=1)
-            npix[j] = px.shape[1] * px.shape[2]
+        n = len(blobs)
+        means = np.empty((n, 3), dtype=np.float64)
+        npix = np.empty(n, dtype=np.int64)
+        if n:
+            # only the zlib inflate is per-blob (C, variable-size payloads);
+            # dequant + per-channel means run ONCE over the concatenation
+            whc = np.empty((n, 3), dtype=np.int64)
+            isq = np.empty(n, dtype=bool)
+            bufs = []
+            for j, blob in enumerate(blobs):
+                whc[j] = np.frombuffer(blob[4:10], dtype="<u2")
+                isq[j] = blob[:4] == MAGIC_QLOSSY
+                bufs.append(zlib.decompress(blob[10:]))
+            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            sizes = whc[:, 0] * whc[:, 1] * whc[:, 2]
+            vals = np.where(
+                np.repeat(isq, sizes), self.dequant[flat], flat
+            ).astype(np.int64)
+            # per-(blob, channel) contiguous segments in planar layout
+            npix = whc[:, 0] * whc[:, 1]
+            seg = np.repeat(npix, whc[:, 2])
+            starts = np.concatenate([[0], np.cumsum(seg)[:-1]])
+            sums = np.add.reduceat(vals, starts)  # exact integer sums
+            means = sums.reshape(n, 3) / npix[:, None].astype(np.float64)
         out = batch.drop_columns(["bytes"])
         out = out.append_column("mean_r", pa.array(means[:, 0]))
         out = out.append_column("mean_g", pa.array(means[:, 1]))
