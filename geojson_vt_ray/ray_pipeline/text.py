@@ -553,6 +553,7 @@ def simhash_near_dup_pairs(
     docs: "ray.data.Dataset",
     max_hamming: int = 3,
     shingle_k: int = 2,
+    bucket_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """SimHash near-duplicate pairs: Hamming distance ≤ ``max_hamming`` on
     64-bit signatures, found EXACTLY (not approximately) via pigeonhole
@@ -565,9 +566,18 @@ def simhash_near_dup_pairs(
     a vectorized XOR + SWAR popcount; duplicates found in several bands
     dedupe in a second small groupby over the pair keys. Same recall as the
     all-pairs scan by construction, at shuffle cost O(docs · bands) +
-    Σ bucket². Skew caveat (shared with MinHash bucketing): a degenerate
-    corpus where thousands of docs share a band value makes that bucket
-    quadratic — cap or salt monster buckets before 100 TB.
+    Σ bucket².
+
+    Skew guard (``bucket_cap``): a degenerate corpus where many documents
+    share a band value would make one bucket quadratic in ONE task.
+    Buckets above the cap are TRIANGLE-BLOCKED: members hash into
+    ceil(size/cap) chunks and replicate to every unordered chunk-pair
+    block containing their chunk, so the groupby key becomes
+    (band, bval, c1, c2) and each block task does at most ~cap² work.
+    Pair completeness holds — any two members meet in exactly the block
+    (min(cx,cy), max(cx,cy)) — at replication cost O(n_chunks) per
+    member, which is inherent to exact all-pairs within the bucket.
+    Blocked-vs-naive pair-set equality is pinned in tests.
     """
     n_bands = max_hamming + 1
     width = 64 // n_bands
@@ -645,10 +655,111 @@ def simhash_near_dup_pairs(
     def first_of_pair(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
+    # pin the (doc_id, simhash) rows — ~16 bytes/doc, no text — so the
+    # two consumers below (bucket-size scan + the banding join) don't
+    # recompute the shingle/signature stage twice
+    sigs = sigs.materialize()
+    tagged = sigs.map_batches(band_stage, batch_format="pyarrow")
+
+    # ---- skew guard: find buckets above the cap (tiny result: at most
+    # total_band_rows / cap entries) and broadcast their chunk counts
+    import ray as _ray
+
+    monster_tbl = (
+        tagged.groupby(["band", "bval"])
+        .count()
+        .filter(lambda r: r["count()"] > bucket_cap)
+        .to_pandas()
+    )
+    monsters = {
+        (int(b), int(v)): int(-(-c // bucket_cap))  # ceil(size / cap)
+        for b, v, c in zip(
+            monster_tbl.get("band", []), monster_tbl.get("bval", []), monster_tbl.get("count()", [])
+        )
+    }
+    monsters_ref = _ray.put(monsters)
+
+    def block_stage(batch: pa.Table) -> pa.Table:
+        mons = _ray.get(monsters_ref)
+        n = batch.num_rows
+        if not mons:
+            z = pa.array(np.zeros(n, dtype=np.int32))
+            return (
+                batch.append_column("c1", z)
+                .append_column("c2", z)
+                .append_column("chunk", z)
+            )
+        band = batch.column("band").to_numpy()
+        bval = batch.column("bval").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        # vectorized over the batch; the only loop is over the (tiny)
+        # monster-bucket table
+        nc_arr = np.ones(n, dtype=np.int64)
+        for (b, v), nc in mons.items():
+            nc_arr[(band == b) & (bval == v)] = nc
+        normal = np.nonzero(nc_arr == 1)[0]
+        mon = np.nonzero(nc_arr > 1)[0]
+        reps = nc_arr[mon]
+        rep_idx = np.repeat(mon, reps)
+        # `other` counts 0..nc-1 within each replicated member
+        total = int(reps.sum()) if len(reps) else 0
+        other = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else [], reps
+        )
+        chunk_rep = (
+            (doc[rep_idx].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % nc_arr[rep_idx].astype(np.uint64)
+        ).astype(np.int64)
+        out_idx = np.concatenate([normal, rep_idx])
+        c1 = np.concatenate([np.zeros(len(normal), np.int64), np.minimum(chunk_rep, other)])
+        c2 = np.concatenate([np.zeros(len(normal), np.int64), np.maximum(chunk_rep, other)])
+        ch = np.concatenate([np.zeros(len(normal), np.int64), chunk_rep])
+        sub = batch.take(pa.array(out_idx))
+        return (
+            sub.append_column("c1", pa.array(c1.astype(np.int32)))
+            .append_column("c2", pa.array(c2.astype(np.int32)))
+            .append_column("chunk", pa.array(ch.astype(np.int32)))
+        )
+
+    def block_pairs(group: pa.Table) -> pa.Table:
+        ids_col = group.column("doc_id")
+        if group.num_rows < 2:
+            return _empty_pairs(ids_col.type)
+        c1 = int(group.column("c1")[0].as_py())
+        c2 = int(group.column("c2")[0].as_py())
+        if c1 == c2:
+            return bucket_pairs(group)
+        chunk = group.column("chunk").to_numpy()
+        left = np.nonzero(chunk == c1)[0]
+        right = np.nonzero(chunk == c2)[0]
+        if len(left) == 0 or len(right) == 0:
+            return _empty_pairs(ids_col.type)
+        sig = group.column("simhash").to_numpy().astype(np.uint64)
+        ii = np.repeat(left, len(right))
+        jj = np.tile(right, len(left))
+        ham = _popcount64(np.bitwise_xor(sig[ii], sig[jj])).astype(np.int64)
+        keep = ham <= max_hamming
+        if not keep.any():
+            return _empty_pairs(ids_col.type)
+        ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        if isinstance(ids_col, pa.ChunkedArray):
+            ids_col = ids_col.combine_chunks()
+        ids = np.asarray(ids_col.to_pylist(), dtype=object)
+        a, b = ids[ii], ids[jj]
+        swap = a > b
+        a[swap], b[swap] = b[swap], a[swap]
+        return pa.table(
+            {
+                "doc_a": pa.array(a.tolist(), ids_col.type),
+                "doc_b": pa.array(b.tolist(), ids_col.type),
+                "hamming": pa.array(ham),
+            }
+        )
+
     return (
-        sigs.map_batches(band_stage, batch_format="pyarrow")
-        .groupby(["band", "bval"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+        tagged.map_batches(block_stage, batch_format="pyarrow")
+        .groupby(["band", "bval", "c1", "c2"])
+        .map_groups(block_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .map_groups(first_of_pair, batch_format="pyarrow")
     )

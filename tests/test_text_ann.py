@@ -230,3 +230,35 @@ def test_top_tokens_matches_local_counter(ray_session):
         cnt.update(t.split(" "))
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
     assert list(map(tuple, got[["token", "n"]].itertuples(index=False))) == want
+
+
+def test_simhash_pairs_monster_bucket_blocking(ray_session):
+    """Triangle blocking of over-cap band buckets returns exactly the
+    same pair set as the unblocked path — on a degenerate corpus where
+    every document collides into one bucket per band."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.text import simhash_near_dup_pairs
+
+    n = 60
+    # 3 exact-duplicate groups -> giant buckets in every band
+    texts = [f"alpha beta gamma delta epsilon {i % 3}" for i in range(n)]
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+    def run(cap):
+        ds = ray.data.from_arrow(docs_tbl)
+        out = simhash_near_dup_pairs(ds, max_hamming=3, bucket_cap=cap).to_pandas()
+        return set(
+            map(tuple, out[["doc_a", "doc_b", "hamming"]].itertuples(index=False))
+        )
+
+    naive = run(cap=10**9)  # cap never reached -> single-block path
+    blocked = run(cap=8)  # forces ceil(20/8)+ chunks per bucket
+    assert naive == blocked
+    assert len(naive) >= 3 * (n // 3) * (n // 3 - 1) // 2  # within-group pairs
