@@ -315,24 +315,113 @@ def minhash_band_rows(
 
 
 def minhash_candidate_pairs(
-    docs: "ray.data.Dataset", n_perm: int = 64, bands: int = 16, shingle_k: int = 3
+    docs: "ray.data.Dataset",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    bucket_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (doc_a < doc_b) from LSH buckets,
-    deduplicated across bands."""
-    band_rows = minhash_band_rows(docs, n_perm, bands, shingle_k)
+    deduplicated across bands.
 
-    def bucket_pairs(g: pa.Table) -> pa.Table:
-        ids = np.sort(g.column("doc_id").to_numpy())
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {
-                "doc_a": pa.array(ids[ia], pa.int64()),
-                "doc_b": pa.array(ids[ib], pa.int64()),
-            }
+    Skew guard: buckets above ``bucket_cap`` are triangle-blocked exactly
+    like `simhash_near_dup_pairs` — members hash into ceil(size/cap)
+    chunks, replicate to every unordered chunk-pair block, and each
+    block task emits at most ~cap² candidates; a pair still surfaces
+    exactly once per band, so the n_bands counts are unchanged (pinned
+    by the degenerate-corpus equality test)."""
+    # pin the small (band, band_hash, doc_id) rows so the bucket-size
+    # scan doesn't recompute the shingle/minhash stage
+    band_rows = minhash_band_rows(docs, n_perm, bands, shingle_k).materialize()
+
+    import ray as _ray
+
+    monster_tbl = (
+        band_rows.groupby(["band", "band_hash"])
+        .count()
+        .filter(lambda r: r["count()"] > bucket_cap)
+        .to_pandas()
+    )
+    monsters = {
+        (int(b), int(v)): int(-(-c // bucket_cap))
+        for b, v, c in zip(
+            monster_tbl.get("band", []),
+            monster_tbl.get("band_hash", []),
+            monster_tbl.get("count()", []),
+        )
+    }
+    monsters_ref = _ray.put(monsters)
+
+    def block_stage(batch: pa.Table) -> pa.Table:
+        mons = _ray.get(monsters_ref)
+        n = batch.num_rows
+        if not mons:
+            z = pa.array(np.zeros(n, dtype=np.int32))
+            return (
+                batch.append_column("c1", z)
+                .append_column("c2", z)
+                .append_column("chunk", z)
+            )
+        band = batch.column("band").to_numpy()
+        bval = batch.column("band_hash").to_numpy()
+        doc = batch.column("doc_id").to_numpy()
+        nc_arr = np.ones(n, dtype=np.int64)
+        for (b, v), nc in mons.items():
+            nc_arr[(band == b) & (bval == v)] = nc
+        normal = np.nonzero(nc_arr == 1)[0]
+        mon = np.nonzero(nc_arr > 1)[0]
+        reps = nc_arr[mon]
+        rep_idx = np.repeat(mon, reps)
+        total = int(reps.sum()) if len(reps) else 0
+        other = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else [], reps
+        )
+        chunk_rep = (
+            (doc[rep_idx].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            % nc_arr[rep_idx].astype(np.uint64)
+        ).astype(np.int64)
+        out_idx = np.concatenate([normal, rep_idx])
+        c1 = np.concatenate([np.zeros(len(normal), np.int64), np.minimum(chunk_rep, other)])
+        c2 = np.concatenate([np.zeros(len(normal), np.int64), np.maximum(chunk_rep, other)])
+        ch = np.concatenate([np.zeros(len(normal), np.int64), chunk_rep])
+        sub = batch.take(pa.array(out_idx))
+        return (
+            sub.append_column("c1", pa.array(c1.astype(np.int32)))
+            .append_column("c2", pa.array(c2.astype(np.int32)))
+            .append_column("chunk", pa.array(ch.astype(np.int32)))
         )
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    _EMPTY_CAND = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+
+    def block_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return _EMPTY_CAND
+        c1 = int(g.column("c1")[0].as_py())
+        c2 = int(g.column("c2")[0].as_py())
+        doc = g.column("doc_id").to_numpy()
+        if c1 == c2:
+            ids = np.sort(doc)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a, b = ids[ia], ids[ib]
+        else:
+            chunk = g.column("chunk").to_numpy()
+            left = doc[chunk == c1]
+            right = doc[chunk == c2]
+            if len(left) == 0 or len(right) == 0:
+                return _EMPTY_CAND
+            a = np.repeat(left, len(right))
+            b = np.tile(right, len(left))
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    pairs = (
+        band_rows.map_batches(block_stage, batch_format="pyarrow")
+        .groupby(["band", "band_hash", "c1", "c2"])
+        .map_groups(block_pairs, batch_format="pyarrow")
     )
     # dedup identical pairs found in multiple bands
     from ray.data.aggregate import Count

@@ -262,3 +262,35 @@ def test_simhash_pairs_monster_bucket_blocking(ray_session):
     blocked = run(cap=8)  # forces ceil(20/8)+ chunks per bucket
     assert naive == blocked
     assert len(naive) >= 3 * (n // 3) * (n // 3 - 1) // 2  # within-group pairs
+
+
+def test_minhash_candidates_monster_bucket_blocking(ray_session):
+    """Triangle blocking of over-cap LSH buckets: identical (pair,
+    n_bands) rows as the unblocked path on a corpus of exact-duplicate
+    groups (every band bucket collides)."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.text import minhash_candidate_pairs
+
+    n = 48
+    texts = [f"one two three four five six seven {i % 2}" for i in range(n)]
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+    def run(cap):
+        ds = ray.data.from_arrow(docs_tbl)
+        out = minhash_candidate_pairs(ds, bucket_cap=cap).to_pandas()
+        return set(map(tuple, out[["doc_a", "doc_b", "n_bands"]].itertuples(index=False)))
+
+    naive = run(cap=10**9)
+    blocked = run(cap=7)
+    assert naive == blocked
+    # exact duplicates collide in ALL 16 bands; the two dup groups are
+    # fully paired (cross-group pairs also appear, at fewer bands)
+    full = {(a, b) for a, b, nb in naive if nb == 16}
+    assert len(full) == 2 * (n // 2) * (n // 2 - 1) // 2
