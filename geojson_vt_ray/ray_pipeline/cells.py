@@ -149,6 +149,7 @@ def knn_radius_join_cells(
     k: int,
     level: int | None = None,
     exclude_self: bool = True,
+    cell_cap: int = 65536,
 ) -> "ray.data.Dataset":
     """Exact radius-bounded kNN with BOTH sides distributed.
 
@@ -211,15 +212,13 @@ def knn_radius_join_cells(
             }
         )
 
-    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
-        queries.map_batches(tag_queries, batch_format="pyarrow")
-    )
-
-    survivors = tagged.groupby("cell").map_groups(
-        _radius_join_group(radius * radius), batch_format="pyarrow"
-    )
-    return survivors.groupby("query_id").map_groups(
-        _radius_topk(k, exclude_self), batch_format="pyarrow"
+    return _blocked_cell_join(
+        points.map_batches(tag_points, batch_format="pyarrow"),
+        queries.map_batches(tag_queries, batch_format="pyarrow"),
+        radius * radius,
+        k,
+        exclude_self,
+        cell_cap,
     )
 
 
@@ -279,6 +278,98 @@ def _radius_topk(k: int, exclude_self: bool):
     return topk
 
 
+_JKEY_SHIFT = np.int64(1) << np.int64(20)  # room for 2^20 point chunks
+
+
+def _blocked_cell_join(
+    pts_tagged: "ray.data.Dataset",
+    qry_tagged: "ray.data.Dataset",
+    r2: float,
+    k: int,
+    exclude_self: bool,
+    cell_cap: int,
+) -> "ray.data.Dataset":
+    """Co-partitioned radius join with a hot-cell skew guard.
+
+    A cell whose POINT count exceeds ``cell_cap`` splits its points into
+    hash-assigned chunks; the cell's halo queries replicate to every
+    chunk, the join key becomes (cell, chunk), and no task brute-forces
+    more than ~cap points against the cell's queries. The downstream
+    per-query top-k merge already combines survivors across groups, so
+    chunking is invisible to the result (pinned by equality tests)."""
+
+    monster_tbl = (
+        pts_tagged.groupby("cell")
+        .count()
+        .filter(lambda r: r["count()"] > cell_cap)
+        .to_pandas()
+    )
+    monsters = {
+        int(c): int(-(-n // cell_cap))
+        for c, n in zip(monster_tbl.get("cell", []), monster_tbl.get("count()", []))
+    }
+    monsters_ref = ray.put(monsters)
+
+    def _nc_of(cells: np.ndarray, mons: dict) -> np.ndarray:
+        nc = np.ones(len(cells), dtype=np.int64)
+        for c, v in mons.items():
+            nc[cells == c] = v
+        return nc
+
+    def block_points(batch: pa.Table) -> pa.Table:
+        mons = ray.get(monsters_ref)
+        cells = batch.column("cell").to_numpy()
+        if not mons:
+            return batch.set_column(
+                batch.schema.get_field_index("cell"),
+                "cell",
+                pa.array(cells * _JKEY_SHIFT),
+            )
+        nc = _nc_of(cells, mons)
+        # deterministic chunk from the coordinate bits (no extra columns)
+        bits = batch.column("mx").to_numpy().view(np.uint64)
+        chunk = ((bits * np.uint64(0x9E3779B97F4A7C15)) % nc.astype(np.uint64)).astype(
+            np.int64
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("cell"),
+            "cell",
+            pa.array(cells * _JKEY_SHIFT + chunk),
+        )
+
+    def block_queries(batch: pa.Table) -> pa.Table:
+        mons = ray.get(monsters_ref)
+        cells = batch.column("cell").to_numpy()
+        if not mons:
+            return batch.set_column(
+                batch.schema.get_field_index("cell"),
+                "cell",
+                pa.array(cells * _JKEY_SHIFT),
+            )
+        nc = _nc_of(cells, mons)
+        idx = np.repeat(np.arange(len(cells)), nc)
+        total = int(nc.sum())
+        chunk = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
+        )
+        sub = batch.take(pa.array(idx))
+        return sub.set_column(
+            sub.schema.get_field_index("cell"),
+            "cell",
+            pa.array(cells[idx] * _JKEY_SHIFT + chunk),
+        )
+
+    tagged = pts_tagged.map_batches(block_points, batch_format="pyarrow").union(
+        qry_tagged.map_batches(block_queries, batch_format="pyarrow")
+    )
+    survivors = tagged.groupby("cell").map_groups(
+        _radius_join_group(r2), batch_format="pyarrow"
+    )
+    return survivors.groupby("query_id").map_groups(
+        _radius_topk(k, exclude_self), batch_format="pyarrow"
+    )
+
+
 def hex_radius_knn_join(
     points: "ray.data.Dataset",
     queries: "ray.data.Dataset",
@@ -286,6 +377,7 @@ def hex_radius_knn_join(
     k: int,
     res: int | None = None,
     exclude_self: bool = True,
+    cell_cap: int = 65536,
 ) -> "ray.data.Dataset":
     """Exact radius-bounded kNN co-partitioned by HEX cell — same
     contract and shape as `knn_radius_join_cells`, but the halo is the
@@ -349,14 +441,13 @@ def hex_radius_knn_join(
             }
         )
 
-    tagged = points.map_batches(tag_points, batch_format="pyarrow").union(
-        queries.map_batches(tag_queries, batch_format="pyarrow")
-    )
-    survivors = tagged.groupby("cell").map_groups(
-        _radius_join_group(radius * radius), batch_format="pyarrow"
-    )
-    return survivors.groupby("query_id").map_groups(
-        _radius_topk(k, exclude_self), batch_format="pyarrow"
+    return _blocked_cell_join(
+        points.map_batches(tag_points, batch_format="pyarrow"),
+        queries.map_batches(tag_queries, batch_format="pyarrow"),
+        radius * radius,
+        k,
+        exclude_self,
+        cell_cap,
     )
 
 

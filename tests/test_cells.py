@@ -346,3 +346,41 @@ def test_range_query_bbox_matches_filter(ray_session):
     assert got["image_id"].tolist() == [f"img-{i:012d}" for i in idx[m].tolist()]
     np.testing.assert_array_equal(got["mx"].to_numpy(), mx[m])
     np.testing.assert_array_equal(got["my"].to_numpy(), my[m])
+
+
+def test_radius_join_hot_cell_blocking(ray_session):
+    """With cell_cap forced tiny, hot cells chunk their points across
+    blocks and the result is identical to the unblocked join — for both
+    the square-halo and hex-halo variants."""
+    import ray
+
+    from geojson_vt_ray.datagen.images import phash_of_index_vec
+    from geojson_vt_ray.ray_pipeline.cells import (
+        hex_radius_knn_join,
+        knn_radius_join_cells,
+    )
+
+    idx = np.arange(1, 900, dtype=np.int64)
+    points = ray.data.from_arrow(_point_table(idx))
+    q_idx = idx[idx % 41 == 0]
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(q_idx), "phash": pa.array(phash_of_index_vec(q_idx))})
+    )
+
+    def frame(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["query_id", "d2", "neighbor_id"])
+            .reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    # coarse level/res => few giant cells => blocking engages at cap 16
+    a = frame(knn_radius_join_cells(points, queries, radius=0.05, k=4, level=4, cell_cap=10**9))
+    b = frame(knn_radius_join_cells(points, queries, radius=0.05, k=4, level=4, cell_cap=16))
+    pd.testing.assert_frame_equal(a, b)
+
+    a = frame(hex_radius_knn_join(points, queries, radius=0.05, k=4, res=1, cell_cap=10**9))
+    b = frame(hex_radius_knn_join(points, queries, radius=0.05, k=4, res=1, cell_cap=16))
+    pd.testing.assert_frame_equal(a, b)
