@@ -309,6 +309,16 @@ def q_doc_heavy_hitters(sf_dir: str):
     return heavy_hitter_tokens(docs, k_track=1024, k_out=20)
 
 
+def q_doc_normalize(sf_dir: str):
+    """Canonical text normalization (lowercase, collapse whitespace,
+    strip) — pure Arrow RE2 kernels, zero Python per row. Oracled:
+    DuckDB's lower/regexp_replace/trim chain is RE2 too."""
+    from .text import normalize_docs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return normalize_docs(docs).select_columns(["doc_id", "norm_text", "norm_chars"])
+
+
 def q_events_value_sketch(sf_dir: str):
     """Approximate quantiles of events.value via the mergeable MRL
     compactor sketch (`sketch.py`) — the no-sort scale path next to the
@@ -895,6 +905,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hll_users": q_events_hll_users,
     "events_value_sketch": q_events_value_sketch,
     "doc_top_tokens": q_doc_top_tokens,
+    "doc_normalize": q_doc_normalize,
     "doc_heavy_hitters": q_doc_heavy_hitters,
     "ann_ivf_topk": q_ann_ivf_topk,
     "img_embed_topk": q_img_embed_topk,
@@ -1236,6 +1247,13 @@ ORACLES: dict[str, str] = {
         SELECT CAST(hexcnt.cell + (dq * 16777216 + dr) AS BIGINT) AS hex_cell,
                CAST(SUM(n) AS BIGINT) AS smoothed
         FROM hexcnt, hexoffs GROUP BY 1
+    """,
+    "doc_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                 AS norm_chars
+        FROM documents
     """,
     "doc_top_tokens": """
         SELECT token, CAST(count(*) AS BIGINT) AS n

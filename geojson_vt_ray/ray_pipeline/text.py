@@ -953,3 +953,21 @@ def top_tokens(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
         .aggregate(Sum("n", alias_name="n"))
     )
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+def normalize_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Canonical text normalization (the step every dedup pipeline runs
+    before hashing): lowercase, collapse whitespace runs to one space,
+    strip ends. Pure Arrow compute kernels (RE2) — zero Python per row;
+    the DuckDB oracle's lower/regexp_replace/trim chain is semantically
+    identical (both RE2)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        t = pc.utf8_lower(t)
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim_whitespace(t)
+        out = batch.drop_columns(["text"]).append_column("norm_text", t)
+        return out.append_column("norm_chars", pc.cast(pc.utf8_length(t), pa.int64()))
+
+    return docs.map_batches(fn, batch_format="pyarrow")

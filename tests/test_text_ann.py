@@ -294,3 +294,22 @@ def test_minhash_candidates_monster_bucket_blocking(ray_session):
     # fully paired (cross-group pairs also appear, at fewer bands)
     full = {(a, b) for a, b, nb in naive if nb == 16}
     assert len(full) == 2 * (n // 2) * (n // 2 - 1) // 2
+
+
+def test_normalize_docs(ray_session):
+    """Lowercase + whitespace collapse + trim, with python-reference
+    equality (including tabs/newlines and multi-space runs)."""
+    import pyarrow as pa
+    import ray
+    import re
+
+    from geojson_vt_ray.ray_pipeline.text import normalize_docs
+
+    texts = ["  Hello   WORLD ", "a\t\tb\nc", "already clean", "", "MiXeD   CaSe\r\n"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+    got = normalize_docs(ds).to_pandas().sort_values("doc_id")
+    want = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
+    assert got["norm_text"].tolist() == want
+    assert got["norm_chars"].tolist() == [len(w) for w in want]
