@@ -1,0 +1,91 @@
+"""Triangle-blocking primitives shared by the skew-guarded bucket joins
+(SimHash / MinHash banding in text.py, radius-kNN cell joins in cells.py).
+
+A bucket whose membership exceeds a cap splits into ``ceil(size/cap)``
+chunks; for symmetric pair generation each member replicates to every
+unordered chunk-pair block containing its chunk (any two members meet in
+exactly the block ``(min(cx,cy), max(cx,cy))``), while for bipartite
+joins only the small side replicates per chunk.
+
+Chunk ids are assigned by POSITION within the batch (round-robin per
+row), not by hashing a member key: key hashes break on duplicate keys —
+the canonical hot-bucket case is millions of identical members, which a
+key hash would put in ONE chunk, defeating the guard — and position
+assignment needs no assumption about the id column's type. Any
+assignment is correct (pair completeness never depends on which chunk a
+member gets); balance is what matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def monster_chunks(counts, key_cols: list[str], cap: int) -> dict:
+    """{key_tuple_or_scalar: n_chunks} for groups above ``cap``, from a
+    pandas frame of group counts (column ``count()``)."""
+    if len(counts) == 0:
+        return {}
+    ncs = [int(-(-c // cap)) for c in counts["count()"]]
+    if len(key_cols) == 1:
+        keys = [int(v) for v in counts[key_cols[0]]]
+    else:
+        keys = [tuple(int(v) for v in row) for row in counts[key_cols].itertuples(index=False)]
+    return dict(zip(keys, ncs))
+
+
+def chunk_counts_for(batch_keys, mons: dict) -> np.ndarray:
+    """Per-row chunk count (1 = not a monster). ``batch_keys`` is a
+    single int array or a tuple of aligned int arrays matching the
+    monster dict's key shape. Only loops over the (tiny) monster dict."""
+    if isinstance(batch_keys, tuple):
+        n = len(batch_keys[0])
+        nc = np.ones(n, dtype=np.int64)
+        for key, v in mons.items():
+            m = np.ones(n, dtype=bool)
+            for col, kv in zip(batch_keys, key):
+                m &= col == kv
+            nc[m] = v
+    else:
+        nc = np.ones(len(batch_keys), dtype=np.int64)
+        for key, v in mons.items():
+            nc[batch_keys == key] = v
+    return nc
+
+
+def assign_chunks(nc: np.ndarray) -> np.ndarray:
+    """Round-robin chunk id per row: row i of the batch gets i % nc_i.
+    Duplicate members spread evenly regardless of their key values."""
+    return (np.arange(len(nc), dtype=np.int64) % nc).astype(np.int64)
+
+
+def replicate_blocks(nc: np.ndarray, chunk: np.ndarray):
+    """Symmetric-pair replication: for each row, one replica per chunk
+    ``other`` in range(nc) with block (min(chunk, other), max(...)).
+
+    Returns (row_idx, c1, c2, chunk_of_replica); empty-safe."""
+    n = len(nc)
+    if n == 0 or int(nc.max(initial=1)) == 1:
+        idx = np.arange(n, dtype=np.int64)
+        z = np.zeros(n, dtype=np.int64)
+        return idx, z, z, z
+    reps = nc
+    idx = np.repeat(np.arange(n, dtype=np.int64), reps)
+    total = int(reps.sum())
+    starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+    other = np.arange(total, dtype=np.int64) - np.repeat(starts, reps)
+    ch = np.repeat(chunk, reps)
+    return idx, np.minimum(ch, other), np.maximum(ch, other), ch
+
+
+def replicate_all(nc: np.ndarray):
+    """Bipartite replication (small side): one replica per chunk id in
+    range(nc_i). Returns (row_idx, chunk_id); empty-safe."""
+    n = len(nc)
+    if n == 0 or int(nc.max(initial=1)) == 1:
+        return np.arange(n, dtype=np.int64), np.zeros(n, dtype=np.int64)
+    idx = np.repeat(np.arange(n, dtype=np.int64), nc)
+    total = int(nc.sum())
+    starts = np.concatenate([[0], np.cumsum(nc)[:-1]])
+    chunk = np.arange(total, dtype=np.int64) - np.repeat(starts, nc)
+    return idx, chunk

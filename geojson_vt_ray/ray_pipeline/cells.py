@@ -278,9 +278,6 @@ def _radius_topk(k: int, exclude_self: bool):
     return topk
 
 
-_JKEY_SHIFT = np.int64(1) << np.int64(20)  # room for 2^20 point chunks
-
-
 def _blocked_cell_join(
     pts_tagged: "ray.data.Dataset",
     qry_tagged: "ray.data.Dataset",
@@ -292,11 +289,20 @@ def _blocked_cell_join(
     """Co-partitioned radius join with a hot-cell skew guard.
 
     A cell whose POINT count exceeds ``cell_cap`` splits its points into
-    hash-assigned chunks; the cell's halo queries replicate to every
-    chunk, the join key becomes (cell, chunk), and no task brute-forces
-    more than ~cap points against the cell's queries. The downstream
-    per-query top-k merge already combines survivors across groups, so
-    chunking is invisible to the result (pinned by equality tests)."""
+    round-robin chunks (position-based — a key hash would put duplicate
+    coordinates in ONE chunk, defeating the guard in exactly its target
+    case); the cell's halo queries replicate once per chunk, the join
+    key becomes the column pair (cell, pchunk) — no arithmetic packing,
+    so fine-resolution cell ids can't overflow — and no task brute-forces
+    more than ~cap points against a cell's queries. The per-query top-k
+    merge downstream combines survivors across groups, so chunking is
+    invisible to the result (pinned by equality tests).
+
+    Cost note: the cell-count scan re-executes the tag stage once (a
+    cheap 2-column read + integer math); the tagged table is NOT pinned
+    because at 10^12 rows it is the big side of the join.
+    """
+    from .blocking import assign_chunks, chunk_counts_for, monster_chunks, replicate_all
 
     monster_tbl = (
         pts_tagged.groupby("cell")
@@ -304,65 +310,33 @@ def _blocked_cell_join(
         .filter(lambda r: r["count()"] > cell_cap)
         .to_pandas()
     )
-    monsters = {
-        int(c): int(-(-n // cell_cap))
-        for c, n in zip(monster_tbl.get("cell", []), monster_tbl.get("count()", []))
-    }
+    monsters = monster_chunks(monster_tbl, ["cell"], cell_cap)
     monsters_ref = ray.put(monsters)
 
-    def _nc_of(cells: np.ndarray, mons: dict) -> np.ndarray:
-        nc = np.ones(len(cells), dtype=np.int64)
-        for c, v in mons.items():
-            nc[cells == c] = v
-        return nc
+    def _with_pchunk(batch: pa.Table, chunk: np.ndarray) -> pa.Table:
+        return batch.append_column("pchunk", pa.array(chunk.astype(np.int64)))
 
     def block_points(batch: pa.Table) -> pa.Table:
         mons = ray.get(monsters_ref)
         cells = batch.column("cell").to_numpy()
         if not mons:
-            return batch.set_column(
-                batch.schema.get_field_index("cell"),
-                "cell",
-                pa.array(cells * _JKEY_SHIFT),
-            )
-        nc = _nc_of(cells, mons)
-        # deterministic chunk from the coordinate bits (no extra columns)
-        bits = batch.column("mx").to_numpy().view(np.uint64)
-        chunk = ((bits * np.uint64(0x9E3779B97F4A7C15)) % nc.astype(np.uint64)).astype(
-            np.int64
-        )
-        return batch.set_column(
-            batch.schema.get_field_index("cell"),
-            "cell",
-            pa.array(cells * _JKEY_SHIFT + chunk),
-        )
+            return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int64))
+        nc = chunk_counts_for(cells, mons)
+        return _with_pchunk(batch, assign_chunks(nc))
 
     def block_queries(batch: pa.Table) -> pa.Table:
         mons = ray.get(monsters_ref)
         cells = batch.column("cell").to_numpy()
         if not mons:
-            return batch.set_column(
-                batch.schema.get_field_index("cell"),
-                "cell",
-                pa.array(cells * _JKEY_SHIFT),
-            )
-        nc = _nc_of(cells, mons)
-        idx = np.repeat(np.arange(len(cells)), nc)
-        total = int(nc.sum())
-        chunk = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
-        )
-        sub = batch.take(pa.array(idx))
-        return sub.set_column(
-            sub.schema.get_field_index("cell"),
-            "cell",
-            pa.array(cells[idx] * _JKEY_SHIFT + chunk),
-        )
+            return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int64))
+        nc = chunk_counts_for(cells, mons)
+        idx, chunk = replicate_all(nc)
+        return _with_pchunk(batch.take(pa.array(idx)), chunk)
 
     tagged = pts_tagged.map_batches(block_points, batch_format="pyarrow").union(
         qry_tagged.map_batches(block_queries, batch_format="pyarrow")
     )
-    survivors = tagged.groupby("cell").map_groups(
+    survivors = tagged.groupby(["cell", "pchunk"]).map_groups(
         _radius_join_group(r2), batch_format="pyarrow"
     )
     return survivors.groupby("query_id").map_groups(

@@ -15,7 +15,6 @@ import pyarrow as pa
 import ray.data
 
 from ..datagen.images import (
-    decode_image,
     mercator_xy,
     psnr,
     synth_image_table,
@@ -48,7 +47,7 @@ class ImageDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import zlib
 
-        from ..datagen.images import MAGIC_QLOSSY
+        from ..datagen.images import MAGIC_QLOSSY, MAGIC_RAW
 
         blobs = batch.column("bytes").to_pylist()
         n = len(blobs)
@@ -61,19 +60,21 @@ class ImageDecoder:
             isq = np.empty(n, dtype=bool)
             bufs = []
             for j, blob in enumerate(blobs):
+                magic = blob[:4]
+                if magic != MAGIC_RAW and magic != MAGIC_QLOSSY:
+                    raise ValueError("bad image magic")  # same as decode_image
                 whc[j] = np.frombuffer(blob[4:10], dtype="<u2")
-                isq[j] = blob[:4] == MAGIC_QLOSSY
+                isq[j] = magic == MAGIC_QLOSSY
                 bufs.append(zlib.decompress(blob[10:]))
             flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
             sizes = whc[:, 0] * whc[:, 1] * whc[:, 2]
-            vals = np.where(
-                np.repeat(isq, sizes), self.dequant[flat], flat
-            ).astype(np.int64)
-            # per-(blob, channel) contiguous segments in planar layout
+            vals = np.where(np.repeat(isq, sizes), self.dequant[flat], flat)
+            # per-(blob, channel) contiguous segments in planar layout;
+            # reduceat accumulates straight into int64 (exact, no 8x copy)
             npix = whc[:, 0] * whc[:, 1]
             seg = np.repeat(npix, whc[:, 2])
             starts = np.concatenate([[0], np.cumsum(seg)[:-1]])
-            sums = np.add.reduceat(vals, starts)  # exact integer sums
+            sums = np.add.reduceat(vals, starts, dtype=np.int64)
             means = sums.reshape(n, 3) / npix[:, None].astype(np.float64)
         out = batch.drop_columns(["bytes"])
         out = out.append_column("mean_r", pa.array(means[:, 0]))

@@ -342,17 +342,14 @@ def minhash_candidate_pairs(
         .filter(lambda r: r["count()"] > bucket_cap)
         .to_pandas()
     )
-    monsters = {
-        (int(b), int(v)): int(-(-c // bucket_cap))
-        for b, v, c in zip(
-            monster_tbl.get("band", []),
-            monster_tbl.get("band_hash", []),
-            monster_tbl.get("count()", []),
-        )
-    }
+    from .blocking import monster_chunks
+
+    monsters = monster_chunks(monster_tbl, ["band", "band_hash"], bucket_cap)
     monsters_ref = _ray.put(monsters)
 
     def block_stage(batch: pa.Table) -> pa.Table:
+        from .blocking import assign_chunks, chunk_counts_for, replicate_blocks
+
         mons = _ray.get(monsters_ref)
         n = batch.num_rows
         if not mons:
@@ -362,29 +359,14 @@ def minhash_candidate_pairs(
                 .append_column("c2", z)
                 .append_column("chunk", z)
             )
-        band = batch.column("band").to_numpy()
-        bval = batch.column("band_hash").to_numpy()
-        doc = batch.column("doc_id").to_numpy()
-        nc_arr = np.ones(n, dtype=np.int64)
-        for (b, v), nc in mons.items():
-            nc_arr[(band == b) & (bval == v)] = nc
-        normal = np.nonzero(nc_arr == 1)[0]
-        mon = np.nonzero(nc_arr > 1)[0]
-        reps = nc_arr[mon]
-        rep_idx = np.repeat(mon, reps)
-        total = int(reps.sum()) if len(reps) else 0
-        other = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else [], reps
+        # position-based round-robin chunks (a doc-id hash would bunch
+        # duplicate members into one chunk and needs an integer id type)
+        nc = chunk_counts_for(
+            (batch.column("band").to_numpy(), batch.column("band_hash").to_numpy()),
+            mons,
         )
-        chunk_rep = (
-            (doc[rep_idx].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            % nc_arr[rep_idx].astype(np.uint64)
-        ).astype(np.int64)
-        out_idx = np.concatenate([normal, rep_idx])
-        c1 = np.concatenate([np.zeros(len(normal), np.int64), np.minimum(chunk_rep, other)])
-        c2 = np.concatenate([np.zeros(len(normal), np.int64), np.maximum(chunk_rep, other)])
-        ch = np.concatenate([np.zeros(len(normal), np.int64), chunk_rep])
-        sub = batch.take(pa.array(out_idx))
+        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc))
+        sub = batch.take(pa.array(idx))
         return (
             sub.append_column("c1", pa.array(c1.astype(np.int32)))
             .append_column("c2", pa.array(c2.astype(np.int32)))
@@ -760,15 +742,14 @@ def simhash_near_dup_pairs(
         .filter(lambda r: r["count()"] > bucket_cap)
         .to_pandas()
     )
-    monsters = {
-        (int(b), int(v)): int(-(-c // bucket_cap))  # ceil(size / cap)
-        for b, v, c in zip(
-            monster_tbl.get("band", []), monster_tbl.get("bval", []), monster_tbl.get("count()", [])
-        )
-    }
+    from .blocking import monster_chunks
+
+    monsters = monster_chunks(monster_tbl, ["band", "bval"], bucket_cap)
     monsters_ref = _ray.put(monsters)
 
     def block_stage(batch: pa.Table) -> pa.Table:
+        from .blocking import assign_chunks, chunk_counts_for, replicate_blocks
+
         mons = _ray.get(monsters_ref)
         n = batch.num_rows
         if not mons:
@@ -778,38 +759,19 @@ def simhash_near_dup_pairs(
                 .append_column("c2", z)
                 .append_column("chunk", z)
             )
-        band = batch.column("band").to_numpy()
-        bval = batch.column("bval").to_numpy()
-        doc = batch.column("doc_id").to_numpy()
-        # vectorized over the batch; the only loop is over the (tiny)
-        # monster-bucket table
-        nc_arr = np.ones(n, dtype=np.int64)
-        for (b, v), nc in mons.items():
-            nc_arr[(band == b) & (bval == v)] = nc
-        normal = np.nonzero(nc_arr == 1)[0]
-        mon = np.nonzero(nc_arr > 1)[0]
-        reps = nc_arr[mon]
-        rep_idx = np.repeat(mon, reps)
-        # `other` counts 0..nc-1 within each replicated member
-        total = int(reps.sum()) if len(reps) else 0
-        other = np.arange(total, dtype=np.int64) - np.repeat(
-            np.concatenate([[0], np.cumsum(reps)[:-1]]) if len(reps) else [], reps
+        # position-based round-robin chunks (a doc-id hash would bunch
+        # duplicate members into one chunk and needs an integer id type)
+        nc = chunk_counts_for(
+            (batch.column("band").to_numpy(), batch.column("bval").to_numpy()),
+            mons,
         )
-        chunk_rep = (
-            (doc[rep_idx].astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            % nc_arr[rep_idx].astype(np.uint64)
-        ).astype(np.int64)
-        out_idx = np.concatenate([normal, rep_idx])
-        c1 = np.concatenate([np.zeros(len(normal), np.int64), np.minimum(chunk_rep, other)])
-        c2 = np.concatenate([np.zeros(len(normal), np.int64), np.maximum(chunk_rep, other)])
-        ch = np.concatenate([np.zeros(len(normal), np.int64), chunk_rep])
-        sub = batch.take(pa.array(out_idx))
+        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc))
+        sub = batch.take(pa.array(idx))
         return (
             sub.append_column("c1", pa.array(c1.astype(np.int32)))
             .append_column("c2", pa.array(c2.astype(np.int32)))
             .append_column("chunk", pa.array(ch.astype(np.int32)))
         )
-
     def block_pairs(group: pa.Table) -> pa.Table:
         ids_col = group.column("doc_id")
         if group.num_rows < 2:
@@ -966,7 +928,10 @@ def normalize_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         t = batch.column("text")
         t = pc.utf8_lower(t)
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-        t = pc.utf8_trim_whitespace(t)
+        # trim plain spaces only: RE2's \s never matched NBSP-class
+        # unicode whitespace, and DuckDB's trim() strips only ' ' — using
+        # utf8_trim_whitespace here would strip chars the oracle keeps
+        t = pc.utf8_trim(t, characters=" ")
         out = batch.drop_columns(["text"]).append_column("norm_text", t)
         return out.append_column("norm_chars", pc.cast(pc.utf8_length(t), pa.int64()))
 
