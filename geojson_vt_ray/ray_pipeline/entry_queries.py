@@ -1250,8 +1250,8 @@ ORACLES: dict[str, str] = {
     """,
     "doc_normalize": r"""
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
-               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm_text,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')) AS BIGINT)
                  AS norm_chars
         FROM documents
     """,

@@ -928,9 +928,10 @@ def normalize_docs(docs: "ray.data.Dataset") -> "ray.data.Dataset":
         t = batch.column("text")
         t = pc.utf8_lower(t)
         t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
-        # trim plain spaces only: RE2's \s never matched NBSP-class
-        # unicode whitespace, and DuckDB's trim() strips only ' ' — using
-        # utf8_trim_whitespace here would strip chars the oracle keeps
+        # trim an EXPLICIT ' ' set: Arrow utf8_trim_whitespace and DuckDB
+        # one-arg trim() disagree on unicode whitespace (NEL/LS/PS vs
+        # NBSP/U+3000) — the oracle's two-arg trim(t, ' ') and this call
+        # strip the identical character set
         t = pc.utf8_trim(t, characters=" ")
         out = batch.drop_columns(["text"]).append_column("norm_text", t)
         return out.append_column("norm_chars", pc.cast(pc.utf8_length(t), pa.int64()))

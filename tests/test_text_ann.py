@@ -305,11 +305,26 @@ def test_normalize_docs(ray_session):
 
     from geojson_vt_ray.ray_pipeline.text import normalize_docs
 
-    texts = ["  Hello   WORLD ", "a\t\tb\nc", "already clean", "", "MiXeD   CaSe\r\n"]
+    # includes unicode-whitespace edges (NBSP, ideographic space, NEL, VT)
+    # that RE2's \s does NOT match and the explicit ' ' trim must KEEP —
+    # the exact set where Arrow/DuckDB builtin trims disagree
+    texts = [
+        "  Hello   WORLD ",
+        "a\t\tb\nc",
+        "already clean",
+        "",
+        "MiXeD   CaSe\r\n",
+        "abc ",
+        "x　y",
+        "q\x85",
+        "v\x0b",
+    ]
     ds = ray.data.from_arrow(
         pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
     )
     got = normalize_docs(ds).to_pandas().sort_values("doc_id")
-    want = [re.sub(r"\s+", " ", t.lower()).strip() for t in texts]
+    # RE2's \s is the ASCII class [\t\n\f\r ] (python's \s is unicode-
+    # aware), and the trim strips only explicit ' '
+    want = [re.sub(r"[ \t\n\r\f]+", " ", t.lower()).strip(" ") for t in texts]
     assert got["norm_text"].tolist() == want
     assert got["norm_chars"].tolist() == [len(w) for w in want]
