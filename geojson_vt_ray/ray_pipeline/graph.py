@@ -132,10 +132,14 @@ def connected_components(
             n = batch.column("node").to_numpy().astype(np.uint64)
             l = batch.column("label").to_numpy().astype(np.uint64)
             h = _mix64(n * np.uint64(0x100000001B3) + _mix64(l))
+            # top 32 bits per component: sums of up to 2^31 rows stay
+            # inside int64 (a full 64-bit sum overflows Ray's Sum and
+            # falls back to pickled Python ints); two independent 32-bit
+            # mixes keep the multiset-signature collision odds ~2^-64
             return pa.table(
                 {
-                    "h1": pa.array(h.astype(np.int64)),
-                    "h2": pa.array(_mix64(h).astype(np.int64)),
+                    "h1": pa.array((h >> np.uint64(32)).astype(np.int64)),
+                    "h2": pa.array((_mix64(h) >> np.uint64(32)).astype(np.int64)),
                 }
             )
 
