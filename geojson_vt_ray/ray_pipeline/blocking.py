@@ -54,9 +54,23 @@ def chunk_counts_for(batch_keys, mons: dict) -> np.ndarray:
 
 
 def assign_chunks(nc: np.ndarray) -> np.ndarray:
-    """Round-robin chunk id per row: row i of the batch gets i % nc_i.
-    Duplicate members spread evenly regardless of their key values."""
-    return (np.arange(len(nc), dtype=np.int64) % nc).astype(np.int64)
+    """Round-robin chunk id per row using the PER-BUCKET running rank
+    (cumcount of rows sharing the same nc-run membership) — a global
+    batch index `i % nc` collapses when a hot bucket's rows occur at a
+    stride sharing a factor with nc, and key hashes bunch duplicate
+    members; the rank is stride-proof and key-type-agnostic.
+
+    Rows are grouped by their nc value here (monster buckets in one
+    batch rarely share an nc; if two do, interleaving their ranks only
+    mixes chunk ids — balance, the only property used, is preserved)."""
+    n = len(nc)
+    chunk = np.zeros(n, dtype=np.int64)
+    for v in np.unique(nc):
+        if v <= 1:
+            continue
+        m = nc == v
+        chunk[m] = np.arange(int(m.sum()), dtype=np.int64) % v
+    return chunk
 
 
 def replicate_blocks(nc: np.ndarray, chunk: np.ndarray):

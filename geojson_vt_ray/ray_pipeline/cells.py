@@ -289,9 +289,9 @@ def _blocked_cell_join(
     """Co-partitioned radius join with a hot-cell skew guard.
 
     A cell whose POINT count exceeds ``cell_cap`` splits its points into
-    round-robin chunks (position-based — a key hash would put duplicate
-    coordinates in ONE chunk, defeating the guard in exactly its target
-    case); the cell's halo queries replicate once per chunk, the join
+    round-robin chunks (per-bucket running rank — a key hash would put
+    duplicate coordinates in ONE chunk, defeating the guard in exactly
+    its target case); the cell's halo queries replicate once per chunk, the join
     key becomes the column pair (cell, pchunk) — no arithmetic packing,
     so fine-resolution cell ids can't overflow — and no task brute-forces
     more than ~cap points against a cell's queries. The per-query top-k
@@ -314,13 +314,15 @@ def _blocked_cell_join(
     monsters_ref = ray.put(monsters)
 
     def _with_pchunk(batch: pa.Table, chunk: np.ndarray) -> pa.Table:
-        return batch.append_column("pchunk", pa.array(chunk.astype(np.int64)))
+        # int32: chunk counts are ceil(size/cap); 8 bytes/row on the big
+        # side of a 10^12-row shuffle would be ~4 TB of dead weight
+        return batch.append_column("pchunk", pa.array(chunk.astype(np.int32)))
 
     def block_points(batch: pa.Table) -> pa.Table:
         mons = ray.get(monsters_ref)
         cells = batch.column("cell").to_numpy()
         if not mons:
-            return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int64))
+            return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int32))
         nc = chunk_counts_for(cells, mons)
         return _with_pchunk(batch, assign_chunks(nc))
 
@@ -328,7 +330,7 @@ def _blocked_cell_join(
         mons = ray.get(monsters_ref)
         cells = batch.column("cell").to_numpy()
         if not mons:
-            return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int64))
+            return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int32))
         nc = chunk_counts_for(cells, mons)
         idx, chunk = replicate_all(nc)
         return _with_pchunk(batch.take(pa.array(idx)), chunk)

@@ -325,8 +325,9 @@ def minhash_candidate_pairs(
     deduplicated across bands.
 
     Skew guard: buckets above ``bucket_cap`` are triangle-blocked exactly
-    like `simhash_near_dup_pairs` — members hash into ceil(size/cap)
-    chunks, replicate to every unordered chunk-pair block, and each
+    like `simhash_near_dup_pairs` — members round-robin (per-bucket
+    running rank) into ceil(size/cap) chunks, replicate to every
+    unordered chunk-pair block, and each
     block task emits at most ~cap² candidates; a pair still surfaces
     exactly once per band, so the n_bands counts are unchanged (pinned
     by the degenerate-corpus equality test)."""
@@ -641,8 +642,9 @@ def simhash_near_dup_pairs(
 
     Skew guard (``bucket_cap``): a degenerate corpus where many documents
     share a band value would make one bucket quadratic in ONE task.
-    Buckets above the cap are TRIANGLE-BLOCKED: members hash into
-    ceil(size/cap) chunks and replicate to every unordered chunk-pair
+    Buckets above the cap are TRIANGLE-BLOCKED: members round-robin
+    (per-bucket running rank — stride-proof, unlike a member-key hash)
+    into ceil(size/cap) chunks and replicate to every unordered chunk-pair
     block containing their chunk, so the groupby key becomes
     (band, bval, c1, c2) and each block task does at most ~cap² work.
     Pair completeness holds — any two members meet in exactly the block

@@ -80,7 +80,7 @@ def feature(draw):
 def test_cascade_matches_local_engine_on_random_geometry(
     ray_session, feats, max_zoom
 ):
-    from geojson_vt_ray.engine import LocalGeoJSONVT
+    from geojson_vt_ray.engine import LocalGeoJSONVT, gen_tiles
     from geojson_vt_ray.ray_pipeline.tiler import gen_tiles_ray
     from tests.util import assert_deep_equal
 
@@ -97,3 +97,11 @@ def test_cascade_matches_local_engine_on_random_geometry(
         lt = local.get_tile(z, x, y)
         assert lt is not None, key
         assert_deep_equal(got, lt["features"])
+
+    # reverse direction: Ray must not silently DROP tiles (an empty tiles
+    # dict would make the loop above pass vacuously)
+    full_local = gen_tiles(
+        json.loads(json.dumps(data)),
+        options.with_(index_max_zoom=max_zoom, index_max_points=0),
+    )
+    assert set(full_local) == set(tiles)
