@@ -215,25 +215,37 @@ def main() -> None:
         # pyramid-only ladder in fresh processes; every N -> 4N pair reported.
         # This host is shared (noise witness: load averages) and 32 procs hit
         # its memory-bandwidth wall — see BASELINE.md for the ladder analysis.
+        # Each leg runs TWICE and the efficiency uses the per-leg minimum:
+        # the min is the better estimator of engine capability under
+        # one-sided external-tenant noise; both raw runs are reported so
+        # nothing is hidden.
         ladder = (4, 8, 16, 32)
-        results = {}
-        for ncpu in ladder:
-            env = dict(
-                os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PYRAMID_ONLY="1"
-            )
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            ).stdout
-            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        results: dict[int, dict] = {}
+        runs: dict[int, list] = {n: [] for n in ladder}
+        for rep in range(2):
+            for ncpu in ladder:
+                env = dict(
+                    os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_PYRAMID_ONLY="1"
+                )
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                ).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                runs[ncpu].append(r)
+                if ncpu not in results or r["value"] < results[ncpu]["value"]:
+                    results[ncpu] = r
         print(
             json.dumps(
                 {
-                    "metric": "us-states z0-z14 pyramid scaling ladder (fresh processes)",
+                    "metric": "us-states z0-z14 pyramid scaling ladder (fresh processes, best of 2 per leg)",
                     "sec": {str(n): results[n]["value"] for n in ladder},
+                    "sec_runs": {
+                        str(n): [r["value"] for r in runs[n]] for n in ladder
+                    },
                     "tiles_per_sec": {
                         str(n): results[n].get("tiles_per_sec") for n in ladder
                     },
