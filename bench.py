@@ -19,7 +19,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-US_STATES = "/root/reference/test/fixtures/us-states.json"
+US_STATES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests/fixtures/us-states.json")
 
 
 def _load_polygon_layer():

@@ -158,8 +158,15 @@ def cell_neighbors(
         idx_out.append(base_idx[keep])
         nx_out.append((cx[keep] + dx) % n)
         ny_out.append(ny[keep])
-    return (
-        np.concatenate(idx_out),
-        np.concatenate(nx_out),
-        np.concatenate(ny_out),
-    )
+    idx_all = np.concatenate(idx_out)
+    nx_all = np.concatenate(nx_out)
+    ny_all = np.concatenate(ny_out)
+    if n <= 2:
+        # On a <=2-column grid dx=-1 and dx=+1 alias mod n (and dx=0 too at
+        # n=1), so the wrapped 3x3 set repeats cells; emitting duplicates
+        # makes radius/kNN consumers count the same neighbor multiple times.
+        key = idx_all * 16 + ny_all * 4 + nx_all
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        idx_all, nx_all, ny_all = idx_all[first], nx_all[first], ny_all[first]
+    return (idx_all, nx_all, ny_all)

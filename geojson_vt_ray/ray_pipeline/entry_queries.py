@@ -858,7 +858,14 @@ def q_doc_stratified_sample(sf_dir: str):
     )
 
 
+# Registry order matters: the driver runs queries in dict order and caps the
+# CORRECTNESS run at 50 rows (r2 ran exactly the first 50 of 56).  All 44
+# SQL-oracled queries come first so every oracle-checkable pipeline gets a
+# driver row; the 12 no-oracle (pytest-oracled) queries follow, most
+# important first, so under a 50-row cap only the least critical of the
+# pytest-covered entries are skipped.
 QUERIES: dict[str, Callable[[str], Any]] = {
+    # ---- SQL-oracled (44) ---------------------------------------------
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
     "img_rect_join": q_img_rect_join,
@@ -875,11 +882,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "img_hex_assign": q_img_hex_assign,
     "img_hex_counts": q_img_hex_counts,
     "img_hex_density": q_img_hex_density,
-    "img_decode_stats": q_img_decode_stats,
-    "rect_pyramid": q_rect_pyramid,
-    "rect_raster": q_rect_raster,
-    "rect_vectorize": q_rect_vectorize,
-    "img_cluster": q_img_cluster,
     "doc_token_stats": q_doc_token_stats,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_lang_stats": q_doc_lang_stats,
@@ -893,28 +895,34 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_hourly": q_events_hourly,
     "events_asof": q_events_asof,
     "ann_topk": q_ann_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "emb_near_dup": q_emb_near_dup,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "tpch_pricing": q_tpch_pricing,
     "tpch_revenue_nation": q_tpch_revenue_nation,
     "tpch_top_customers": q_tpch_top_customers,
-    "events_sessions": q_events_sessions,
-    "events_distinct_users": q_events_distinct_users,
-    "events_hll_users": q_events_hll_users,
-    "events_value_sketch": q_events_value_sketch,
-    "doc_top_tokens": q_doc_top_tokens,
-    "doc_normalize": q_doc_normalize,
-    "doc_heavy_hitters": q_doc_heavy_hitters,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "img_embed_topk": q_img_embed_topk,
-    "video_frames": q_video_frames,
     "tpch_priority_revenue": q_tpch_priority_revenue,
     "tpch_cumulative_revenue": q_tpch_cumulative_revenue,
+    "events_sessions": q_events_sessions,
+    "events_distinct_users": q_events_distinct_users,
+    "doc_top_tokens": q_doc_top_tokens,
+    "doc_normalize": q_doc_normalize,
     "doc_sample": q_doc_sample,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
+    # ---- pytest-oracled / non-SQL (12) --------------------------------
+    "video_frames": q_video_frames,
+    "rect_pyramid": q_rect_pyramid,
+    "img_cluster": q_img_cluster,
+    "img_decode_stats": q_img_decode_stats,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "img_embed_topk": q_img_embed_topk,
+    "rect_raster": q_rect_raster,
+    "rect_vectorize": q_rect_vectorize,
+    "events_hll_users": q_events_hll_users,
+    "events_value_sketch": q_events_value_sketch,
+    "doc_heavy_hitters": q_doc_heavy_hitters,
 }
 
 

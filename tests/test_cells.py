@@ -109,6 +109,71 @@ def test_neighbors_wrap_and_clamp():
     assert got == {(3, 6), (4, 6), (5, 6), (3, 7), (4, 7), (5, 7)}
 
 
+def test_neighbors_no_duplicates_on_tiny_grids():
+    # n<=2 columns: dx=-1 and dx=+1 alias mod n; the wrapped 3x3 set must
+    # still be duplicate-free or radius/kNN consumers double-count neighbors.
+    for level, cells in [(0, [(0, 0)]), (1, [(0, 0), (1, 1), (0, 1)])]:
+        cx = np.array([c[0] for c in cells])
+        cy = np.array([c[1] for c in cells])
+        idx, nx, ny = cell_neighbors(cx, cy, level)
+        trip = list(zip(idx.tolist(), nx.tolist(), ny.tolist()))
+        assert len(trip) == len(set(trip)), (level, trip)
+        n = 1 << level
+        for i in range(len(cells)):
+            got = {(x, y) for j, x, y in trip if j == i}
+            want = {
+                ((cells[i][0] + dx) % n, cells[i][1] + dy)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if 0 <= cells[i][1] + dy < n
+            }
+            assert got == want
+
+
+def test_knn_radius_join_level1_grid_matches_bruteforce(ray_session):
+    # radius in (0.25, 0.5] auto-picks level 1 (2x2 grid) where the x-wrap
+    # aliasing lived; survivors must not be double-counted in the top-k.
+    import ray
+
+    from geojson_vt_ray.datagen.images import mercator_xy, phash_of_index_vec
+    from geojson_vt_ray.ray_pipeline.cells import knn_radius_join_cells
+
+    idx = np.arange(1, 301, dtype=np.int64)
+    q_idx = idx[(idx - 1) % 29 == 0]
+    points = ray.data.from_arrow(_point_table(idx)).repartition(4)
+    q_ph = phash_of_index_vec(q_idx)
+    queries = ray.data.from_arrow(
+        pa.table({"query_id": pa.array(q_idx), "phash": pa.array(q_ph)})
+    ).repartition(2)
+
+    radius, k = 0.3, 4
+    got = (
+        knn_radius_join_cells(points, queries, radius=radius, k=k)
+        .to_pandas()
+        .sort_values(["query_id", "d2", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+
+    mx, my = mercator_xy(phash_of_index_vec(idx))
+    qmx, qmy = mercator_xy(q_ph)
+    rows = []
+    for qi, (qx, qy) in zip(q_idx.tolist(), zip(qmx, qmy)):
+        d2 = (mx - qx) ** 2 + (my - qy) ** 2
+        order = np.lexsort((idx, d2))
+        taken = 0
+        for j in order:
+            if idx[j] == qi:
+                continue
+            if d2[j] > radius * radius or taken >= k:
+                break
+            rows.append((qi, f"img-{idx[j]:012d}", d2[j]))
+            taken += 1
+    assert len(got) == len(rows)
+    for (_, r), (qi, nid, d2v) in zip(got.iterrows(), rows):
+        assert r.query_id == qi and r.neighbor_id == nid
+        assert r.d2 == d2v
+
+
 def _point_table(idx: np.ndarray) -> pa.Table:
     from geojson_vt_ray.datagen.images import phash_of_index_vec
 
