@@ -54,12 +54,17 @@ def brute_force_topk(
     query_ids: np.ndarray,
     k: int,
     exclude_self: bool = True,
-    inorder: bool = True,
+    inorder: bool = False,
 ) -> "ray.data.Dataset":
     """Exact cosine top-k of each query vector against the full table.
 
     Returns (query_id, neighbor_id, cos_sim) rows, k per query, ordered by
     (-cos_sim, neighbor_id) with deterministic tie handling.
+
+    Default is the BLAS matmul path; ``inorder=True`` switches to strict
+    sequential float64 accumulation (d× the memory traffic) and exists ONLY
+    for bit-equality with the DuckDB oracle — production callers should
+    never need it.
     """
     refs = ray.put((np.asarray(query_vecs, dtype=np.float64), np.asarray(query_ids)))
 
@@ -127,7 +132,8 @@ def embedding_near_dup_pairs(
     embeddings: "ray.data.Dataset",
     threshold: float,
     inorder: bool = True,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    block_rows: int = 8192,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-duplicate pairs: (vec_a < vec_b, cos_sim) with
     cos_sim >= threshold — EXACT, via a distributed grid self-join.
@@ -140,7 +146,16 @@ def embedding_near_dup_pairs(
     inherent to the exact contract — `lsh_topk`'s hyperplane bucketing is the
     approximate 100 TB path. ``inorder`` keeps the accumulation
     bit-compatible with the DuckDB oracle (sequential float64 over dims).
+
+    ``n_blocks`` defaults to ceil(row_count / block_rows) (one cheap count —
+    parquet metadata when the input is a read), so each grid group holds
+    ~2·block_rows vectors and per-task memory stays flat as the dataset
+    grows, instead of scaling with n/4 at a fixed block count. The pair set
+    is invariant to the block count (every pair meets in exactly one cell).
     """
+    if n_blocks is None:
+        n_rows = embeddings.count()
+        n_blocks = max(2, -(-int(n_rows) // block_rows))
 
     def replicate(batch: pa.Table) -> pa.Table:
         vec_ids = batch.column("vec_id").to_numpy()

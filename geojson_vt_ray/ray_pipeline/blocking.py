@@ -53,23 +53,49 @@ def chunk_counts_for(batch_keys, mons: dict) -> np.ndarray:
     return nc
 
 
-def assign_chunks(nc: np.ndarray) -> np.ndarray:
+def assign_chunks(nc: np.ndarray, keys=None) -> np.ndarray:
     """Round-robin chunk id per row using the PER-BUCKET running rank
-    (cumcount of rows sharing the same nc-run membership) — a global
-    batch index `i % nc` collapses when a hot bucket's rows occur at a
-    stride sharing a factor with nc, and key hashes bunch duplicate
-    members; the rank is stride-proof and key-type-agnostic.
+    (cumcount of rows sharing the same bucket key) — a global batch
+    index `i % nc` collapses when a hot bucket's rows occur at a stride
+    sharing a factor with nc, and key hashes bunch duplicate members;
+    the rank is stride-proof and key-type-agnostic.
 
-    Rows are grouped by their nc value here (monster buckets in one
-    batch rarely share an nc; if two do, interleaving their ranks only
-    mixes chunk ids — balance, the only property used, is preserved)."""
+    ``keys`` (an int array or tuple of aligned int arrays — the same
+    value the caller passed to `chunk_counts_for`) identifies the
+    bucket each row belongs to, so two interleaved monster buckets that
+    happen to share an nc value still each round-robin over all their
+    chunks (A,B,A,B with nc=2 would otherwise put every A in chunk 0).
+    Without keys, rows pool by nc value (legacy behavior — correct, but
+    balance degrades in exactly that shared-nc case)."""
     n = len(nc)
     chunk = np.zeros(n, dtype=np.int64)
-    for v in np.unique(nc):
-        if v <= 1:
-            continue
-        m = nc == v
-        chunk[m] = np.arange(int(m.sum()), dtype=np.int64) % v
+    hot = np.nonzero(nc > 1)[0]
+    if len(hot) == 0:
+        return chunk
+    if keys is None:
+        for v in np.unique(nc[hot]):
+            m = nc == v
+            chunk[m] = np.arange(int(m.sum()), dtype=np.int64) % v
+        return chunk
+    if isinstance(keys, tuple):
+        karrs = [np.asarray(k)[hot] for k in keys]
+        order = np.lexsort(tuple(reversed(karrs)))
+        sorted_keys = [k[order] for k in karrs]
+        new_run = np.zeros(len(hot), dtype=bool)
+        new_run[0] = True
+        for k in sorted_keys:
+            new_run[1:] |= k[1:] != k[:-1]
+    else:
+        k = np.asarray(keys)[hot]
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        new_run = np.empty(len(hot), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = ks[1:] != ks[:-1]
+    run_id = np.cumsum(new_run) - 1
+    starts = np.nonzero(new_run)[0]
+    rank = np.arange(len(hot), dtype=np.int64) - starts[run_id]
+    chunk[hot[order]] = rank % nc[hot][order]
     return chunk
 
 

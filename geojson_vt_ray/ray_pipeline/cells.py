@@ -324,7 +324,7 @@ def _blocked_cell_join(
         if not mons:
             return _with_pchunk(batch, np.zeros(len(cells), dtype=np.int32))
         nc = chunk_counts_for(cells, mons)
-        return _with_pchunk(batch, assign_chunks(nc))
+        return _with_pchunk(batch, assign_chunks(nc, cells))
 
     def block_queries(batch: pa.Table) -> pa.Table:
         mons = ray.get(monsters_ref)

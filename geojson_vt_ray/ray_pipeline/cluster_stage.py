@@ -95,39 +95,77 @@ def grid_cluster_tiles(
     points: "ray.data.Dataset",
     options: Optional[ClusterOptions] = None,
     zoom: int = 0,
+    cell_cap: int = 65536,
 ) -> "ray.data.Dataset":
     """Scale-out greedy clustering per grid cell (deviation documented above).
 
     Cell side = 4r at the target zoom; each cell clusters its own points
     greedily in (cell-local) index order. Border effects are bounded by r.
+
+    Skew guard: a cell holding more than ``cell_cap`` points (a degenerate
+    all-in-one-spot corpus) splits round-robin into ceil(n/cap) sub-chunks
+    clustered independently — no task runs the O(n²)-per-cell greedy over
+    more than ~cap points. An over-cap cell then emits up to one cluster
+    per (true cluster × chunk); point_count totals are preserved (the
+    approximation error is bounded and this path is already the documented
+    non-bit-exact variant).
     """
     options = options or ClusterOptions()
     r = options.radius / (options.extent * math.pow(2, zoom))
     cell = 4 * r
 
-    def assign(batch: pa.Table) -> pa.Table:
+    import ray as _ray
+
+    from .blocking import assign_chunks, chunk_counts_for, monster_chunks
+
+    def _cells_of(batch: pa.Table) -> np.ndarray:
         from ..datagen.images import mercator_xy
 
         mx, my = mercator_xy(batch.column("phash").to_numpy())
         cx = np.floor(mx / cell).astype(np.int64)
         cy = np.floor(my / cell).astype(np.int64)
+        return cx * 1_000_003 + cy
+
+    monster_tbl = (
+        points.map_batches(
+            lambda b: pa.table({"cell": pa.array(_cells_of(b))}), batch_format="pyarrow"
+        )
+        .groupby("cell")
+        .count()
+        .filter(lambda row: row["count()"] > cell_cap)
+        .to_pandas()
+    )
+    monsters = monster_chunks(monster_tbl, ["cell"], cell_cap)
+    monsters_ref = _ray.put(monsters)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
+
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        key = _cells_of(batch)
+        mons = _ray.get(monsters_ref)
+        if mons:
+            pchunk = assign_chunks(chunk_counts_for(key, mons), key).astype(np.int32)
+        else:
+            pchunk = np.zeros(len(key), dtype=np.int32)
         return pa.table(
             {
-                "cell": cx * 1_000_003 + cy,
+                "cell": pa.array(key),
+                "pchunk": pa.array(pchunk),
                 "mx": pa.array(mx),
                 "my": pa.array(my),
                 "image_id": batch.column("image_id"),
             }
         )
 
-    import pandas as pd
-
-    def cluster_cell(g: pd.DataFrame) -> pd.DataFrame:
-        xs = g["mx"].to_numpy()
-        ys = g["my"].to_numpy()
+    def cluster_cell(g: pa.Table) -> pa.Table:
+        xs = g.column("mx").to_numpy()
+        ys = g.column("my").to_numpy()
         n = len(xs)
         visited = np.zeros(n, dtype=bool)
-        rows = []
+        px: list[float] = []
+        py: list[float] = []
+        counts: list[int] = []
         for i in range(n):
             if visited[i]:
                 continue
@@ -137,15 +175,23 @@ def grid_cluster_tiles(
             count = 1 + len(members)
             if count >= options.min_points and len(members) > 0:
                 visited[members] = True
-                wx = (xs[i] + xs[members].sum()) / count
-                wy = (ys[i] + ys[members].sum()) / count
-                rows.append((wx, wy, count))
+                px.append((xs[i] + xs[members].sum()) / count)
+                py.append((ys[i] + ys[members].sum()) / count)
+                counts.append(count)
             else:
-                rows.append((xs[i], ys[i], 1))
-        return pd.DataFrame(rows, columns=["px", "py", "point_count"])
+                px.append(xs[i])
+                py.append(ys[i])
+                counts.append(1)
+        return pa.table(
+            {
+                "px": pa.array(np.asarray(px, dtype=np.float64)),
+                "py": pa.array(np.asarray(py, dtype=np.float64)),
+                "point_count": pa.array(np.asarray(counts, dtype=np.int64)),
+            }
+        )
 
     cells = points.map_batches(assign, batch_format="pyarrow")
-    return cells.groupby("cell").map_groups(cluster_cell, batch_format="pandas")
+    return cells.groupby(["cell", "pchunk"]).map_groups(cluster_cell, batch_format="pyarrow")
 
 
 def cluster_tiles(

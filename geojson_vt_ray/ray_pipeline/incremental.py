@@ -49,56 +49,81 @@ def affected_tile_keys(affected: list[dict], max_zoom: int, options: TilerOption
     return out
 
 
+def fid_key_of(fid) -> str:
+    """Canonical string encoding of a diff feature id (JSON literal, so
+    int 1 and string "1" stay distinct and None encodes as 'null')."""
+    return json.dumps(fid, sort_keys=True, separators=(",", ":"))
+
+
+def fid_key_of_feature(f: dict, options: Optional[TilerOptions]) -> str:
+    """The diff id of a raw GeoJSON feature under the given options
+    (``properties[promote_id]`` when promoting, else native ``id``) in
+    `fid_key_of` canonical form — same extraction the per-feature converter
+    performs (reference `src/convert.ts:30-38`)."""
+    if options is not None and options.promote_id:
+        fid = (f.get("properties") or {}).get(options.promote_id)
+    else:
+        fid = f.get("id")
+    return fid_key_of(fid)
+
+
+def with_fid_key(source_rows: "ray.data.Dataset", options: TilerOptions) -> "ray.data.Dataset":
+    """Compat shim: materialize the ``fid_key`` column for source datasets
+    ingested before it existed. One JSON parse pass over the dataset —
+    new ingests (``dataset_from_geojson``) carry the column from the start
+    so diffs never re-parse the corpus."""
+    if "fid_key" in source_rows.schema().names:
+        return source_rows
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [
+            fid_key_of_feature(json.loads(fj), options)
+            for fj in batch.column("feature_json").to_pylist()
+        ]
+        return batch.append_column("fid_key", pa.array(keys, pa.string()))
+
+    return source_rows.map_batches(add_key, batch_format="pyarrow")
+
+
 def apply_diff_dataset(
     source_rows: "ray.data.Dataset",
     diff: dict,
     options: TilerOptions,
 ) -> tuple["ray.data.Dataset", list[dict]]:
     """Apply a source diff to a Dataset of raw GeoJSON feature rows
-    ``{feature_json, input_seq}``.
+    ``{feature_json, input_seq, fid_key}``.
 
     Returns (updated dataset, affected internal features). The diff is
-    broadcast; removals/replacements filter per batch (anti-join by id);
-    adds append as new rows. The affected list (old + new instances) drives
-    tile invalidation.
+    small by construction; its id set becomes a pyarrow value set and both
+    the anti-join (drop rows being removed/replaced) and the affected-row
+    scan are vectorized ``pc.is_in`` filters over the materialized
+    ``fid_key`` column — no per-row JSON parse of the corpus. Only the
+    matched (diff-sized) rows are parsed, to build the invalidation list.
     """
+    import pyarrow.compute as pc
+
+    source_rows = with_fid_key(source_rows, options)
     hashed = diff_to_hashed(diff, options)
     drop_ids = hashed["remove"] | set(hashed["add"].keys()) | set(hashed["update"].keys())
-    drop_ref = ray.put((drop_ids, hashed["removeAll"]))
+    drop_keys = pa.array(sorted(fid_key_of(v) for v in drop_ids), pa.string())
+    remove_all = bool(hashed["removeAll"])
 
     affected: list[dict] = []
 
     def patch(batch: pa.Table) -> pa.Table:
-        ids_to_drop, remove_all = ray.get(drop_ref)
         if remove_all:
             return batch.slice(0, 0)
-        keep = []
-        for i, fj in enumerate(batch.column("feature_json").to_pylist()):
-            f = json.loads(fj)
-            fid = (
-                (f.get("properties") or {}).get(options.promote_id)
-                if options.promote_id
-                else f.get("id")
-            )
-            keep.append(fid not in ids_to_drop)
-        return batch.filter(pa.array(keep))
+        hit = pc.is_in(batch.column("fid_key"), value_set=drop_keys)
+        return batch.filter(pc.invert(hit))
 
     patched = source_rows.map_batches(patch, batch_format="pyarrow")
 
     # collect affected old rows (small: only ids in the diff) on the driver
     def affected_scan(batch: pa.Table) -> pa.Table:
-        ids_to_drop, remove_all = ray.get(drop_ref)
-        out = []
-        for fj in batch.column("feature_json").to_pylist():
-            f = json.loads(fj)
-            fid = (
-                (f.get("properties") or {}).get(options.promote_id)
-                if options.promote_id
-                else f.get("id")
-            )
-            if remove_all or fid in ids_to_drop:
-                out.append(fj)
-        return pa.table({"feature_json": pa.array(out, pa.string())})
+        if remove_all:
+            return batch.select(["feature_json"])
+        hit = pc.is_in(batch.column("fid_key"), value_set=drop_keys)
+        return batch.filter(hit).select(["feature_json"])
 
     for row in source_rows.map_batches(affected_scan, batch_format="pyarrow").iter_rows():
         f = json.loads(row["feature_json"])
@@ -107,7 +132,13 @@ def apply_diff_dataset(
     new_rows = []
     next_seq = 1 << 40  # appended rows order after all existing rows
     for f in hashed["add"].values():
-        new_rows.append({"feature_json": json.dumps(f), "input_seq": next_seq})
+        new_rows.append(
+            {
+                "feature_json": json.dumps(f),
+                "input_seq": next_seq,
+                "fid_key": fid_key_of_feature(f, options),
+            }
+        )
         next_seq += 1
         affected.extend(wrap(convert_to_internal(f, options), options))
     for u in hashed["update"].values():
@@ -118,7 +149,13 @@ def apply_diff_dataset(
                 "geometry": u["newGeometry"],
                 "properties": {},
             }
-            new_rows.append({"feature_json": json.dumps(nf), "input_seq": next_seq})
+            new_rows.append(
+                {
+                    "feature_json": json.dumps(nf),
+                    "input_seq": next_seq,
+                    "fid_key": fid_key_of(u["id"]),
+                }
+            )
             next_seq += 1
             affected.extend(wrap(convert_to_internal(nf, options), options))
 

@@ -382,6 +382,7 @@ def pip_join_copartitioned(
     points: "ray.data.Dataset",
     polygon_tiles: "ray.data.Dataset",
     z: int,
+    tile_cap: int = 65536,
 ) -> "ray.data.Dataset":
     """Both-sides-large PIP join: points and sliced polygon tiles are
     co-partitioned on the zoom-z tile key and joined per group — no
@@ -393,22 +394,57 @@ def pip_join_copartitioned(
     1/extent of a tile — identical to `pip_join` (broadcast variant); use
     `pip_join_world` for bit-exact dyadic membership when the polygon side
     fits a broadcast.
+
+    Skew guard: a tile whose POINT count exceeds ``tile_cap`` (a dense
+    metro tile at low z) splits its points into round-robin chunks and
+    replicates the tile's polygon rows per chunk (`blocking.py` bipartite
+    pattern), so no single `map_groups` task tests more than ~cap points;
+    the join key becomes the column pair (tkey, pchunk). Each point lands
+    in exactly one chunk, so the output pair set is chunking-invisible
+    (pinned by the blocked==unblocked equality test).
+
+    Both sides share one string column ``sval`` (image_id for points,
+    features_json for polygon rows) so neither side ships a dead payload
+    column through the shuffle.
     """
     import pyarrow.compute as pc
 
+    from .blocking import assign_chunks, chunk_counts_for, monster_chunks, replicate_all
+
     extent_default = 4096
+
+    def _point_tkeys(batch: pa.Table) -> pa.Table:
+        phash = batch.column("phash").to_numpy()
+        tx, ty = tile_xy(phash, z)
+        tkey = (ty.astype(np.int64) << 32) | tx.astype(np.int64)
+        return pa.table({"tkey": pa.array(tkey)})
+
+    monster_tbl = (
+        points.map_batches(_point_tkeys, batch_format="pyarrow")
+        .groupby("tkey")
+        .count()
+        .filter(lambda r: r["count()"] > tile_cap)
+        .to_pandas()
+    )
+    monsters = monster_chunks(monster_tbl, ["tkey"], tile_cap)
+    monsters_ref = ray.put(monsters)
 
     def tag_points(batch: pa.Table) -> pa.Table:
         phash = batch.column("phash").to_numpy()
         tx, ty = tile_xy(phash, z)
         tkey = (ty.astype(np.int64) << 32) | tx.astype(np.int64)
+        mons = ray.get(monsters_ref)
+        if mons:
+            pchunk = assign_chunks(chunk_counts_for(tkey, mons), tkey).astype(np.int32)
+        else:
+            pchunk = np.zeros(len(tkey), dtype=np.int32)
         return pa.table(
             {
                 "tkey": pa.array(tkey),
+                "pchunk": pa.array(pchunk),
                 "side": pa.array(np.zeros(len(tkey), dtype=np.int8)),
-                "image_id": batch.column("image_id"),
+                "sval": batch.column("image_id").cast(pa.string()),
                 "phash": batch.column("phash"),
-                "payload": pa.array([""] * len(tkey), pa.string()),
             }
         )
 
@@ -418,14 +454,22 @@ def pip_join_copartitioned(
         xs = batch.column("x").to_numpy().astype(np.int64)
         ys = batch.column("y").to_numpy().astype(np.int64)
         tkey = (ys << 32) | xs
+        mons = ray.get(monsters_ref)
+        if mons:
+            idx, chunk = replicate_all(chunk_counts_for(tkey, mons))
+            batch = batch.take(pa.array(idx))
+            tkey = tkey[idx]
+            pchunk = chunk.astype(np.int32)
+        else:
+            pchunk = np.zeros(len(tkey), dtype=np.int32)
         n = len(tkey)
         return pa.table(
             {
                 "tkey": pa.array(tkey),
+                "pchunk": pa.array(pchunk),
                 "side": pa.array(np.ones(n, dtype=np.int8)),
-                "image_id": pa.array([""] * n, pa.string()),
+                "sval": batch.column("features_json").cast(pa.string()),
                 "phash": pa.array(np.zeros(n, dtype=np.int64)),
-                "payload": batch.column("features_json").cast(pa.string()),
             }
         )
 
@@ -437,7 +481,7 @@ def pip_join_copartitioned(
         from ..datagen.images import mercator_xy
 
         sides = group.column("side").to_numpy()
-        poly_rows = [group.column("payload")[i].as_py() for i in np.nonzero(sides == 1)[0]]
+        poly_rows = [group.column("sval")[i].as_py() for i in np.nonzero(sides == 1)[0]]
         if not poly_rows:
             return pa.table(
                 {"image_id": pa.array([], pa.string()), "poly_id": pa.array([], pa.string())}
@@ -451,7 +495,7 @@ def pip_join_copartitioned(
         tx = tkey & 0xFFFFFFFF
         ty = tkey >> 32
         phash = group.column("phash").to_numpy()[pt_idx]
-        ids = group.column("image_id").take(pa.array(pt_idx)).to_pylist()
+        ids = group.column("sval").take(pa.array(pt_idx)).to_pylist()
         mx, my = mercator_xy(phash)
         z2 = 1 << z
         px = (mx * z2 - tx) * extent_default
@@ -487,7 +531,7 @@ def pip_join_copartitioned(
             }
         )
 
-    return tagged.groupby("tkey").map_groups(join_group, batch_format="pyarrow")
+    return tagged.groupby(["tkey", "pchunk"]).map_groups(join_group, batch_format="pyarrow")
 
 
 def pip_join(

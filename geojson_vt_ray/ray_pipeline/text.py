@@ -362,11 +362,9 @@ def minhash_candidate_pairs(
             )
         # position-based round-robin chunks (a doc-id hash would bunch
         # duplicate members into one chunk and needs an integer id type)
-        nc = chunk_counts_for(
-            (batch.column("band").to_numpy(), batch.column("band_hash").to_numpy()),
-            mons,
-        )
-        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc))
+        keys = (batch.column("band").to_numpy(), batch.column("band_hash").to_numpy())
+        nc = chunk_counts_for(keys, mons)
+        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc, keys))
         sub = batch.take(pa.array(idx))
         return (
             sub.append_column("c1", pa.array(c1.astype(np.int32)))
@@ -447,7 +445,10 @@ def verify_jaccard(
 # ----------------------------------------------------- exact n-gram Jaccard
 
 def ngram_jaccard_pairs(
-    docs: "ray.data.Dataset", threshold: float = 0.5, shingle_k: int = 3
+    docs: "ray.data.Dataset",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    posting_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index —
     no driver materialization, no all-pairs scan.
@@ -460,10 +461,21 @@ def ngram_jaccard_pairs(
     3. ``groupby(doc_a, doc_b)`` counts shared shingles c; since every shared
        shingle contributes exactly one bucket, J = c / (|A|+|B|-c) exactly.
 
-    Scale note: step-2 volume is Σ |posting|² — text never ships and the hot
-    (stopword-shingle) posting lists are the skew bound; cap them with an
-    (approximate) document-frequency cutoff upstream if a corpus needs it.
+    Skew guard: step-2 volume is Σ |posting|², and a stopword shingle in
+    natural text makes one posting list ~n. Posting lists above
+    ``posting_cap`` are triangle-blocked exactly like
+    `minhash_candidate_pairs` / `simhash_near_dup_pairs` (members
+    round-robin into ceil(size/cap) chunks, replicate to every unordered
+    chunk-pair block), so no task emits more than ~cap² candidates while
+    each pair still meets exactly once per shared shingle — the step-3
+    counts, and hence the exact Jaccard, are unchanged (pinned by the
+    blocked==unblocked equality test). The posting-size scan re-executes
+    the shingle stage once (text never ships; cheap relative to pinning
+    the posting table at 10^12-row scale).
     """
+    import ray as _ray
+
+    from .blocking import assign_chunks, chunk_counts_for, monster_chunks, replicate_blocks
 
     class ShingleStage:
         def __init__(self) -> None:
@@ -487,30 +499,91 @@ def ngram_jaccard_pairs(
 
     postings = docs.map_batches(ShingleStage, batch_format="pyarrow", concurrency=(1, 32))
 
+    monster_tbl = (
+        postings.groupby("shingle")
+        .count()
+        .filter(lambda r: r["count()"] > posting_cap)
+        .to_pandas()
+    )
+    monsters = monster_chunks(monster_tbl, ["shingle"], posting_cap)
+    monsters_ref = _ray.put(monsters)
+
+    def block_stage(batch: pa.Table) -> pa.Table:
+        mons = _ray.get(monsters_ref)
+        n = batch.num_rows
+        if not mons:
+            z = pa.array(np.zeros(n, dtype=np.int32))
+            return (
+                batch.append_column("c1", z)
+                .append_column("c2", z)
+                .append_column("chunk", z)
+            )
+        shingles = batch.column("shingle").to_numpy()
+        nc = chunk_counts_for(shingles, mons)
+        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc, shingles))
+        sub = batch.take(pa.array(idx))
+        return (
+            sub.append_column("c1", pa.array(c1.astype(np.int32)))
+            .append_column("c2", pa.array(c2.astype(np.int32)))
+            .append_column("chunk", pa.array(ch.astype(np.int32)))
+        )
+
+    _EMPTY_PAIRS = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "size_a": pa.array([], pa.int64()),
+            "size_b": pa.array([], pa.int64()),
+        }
+    )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return _EMPTY_PAIRS
+        c1 = int(group.column("c1")[0].as_py())
+        c2 = int(group.column("c2")[0].as_py())
         ids = group.column("doc_id").to_numpy()
         sizes = group.column("set_size").to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        sizes = sizes[order]
-        n = len(ids)
-        ia, ib = np.triu_indices(n, k=1)
-        sa = sizes[ia]
-        sb = sizes[ib]
+        if c1 == c2:
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            sizes = sizes[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a, b = ids[ia], ids[ib]
+            sa, sb = sizes[ia], sizes[ib]
+        else:
+            chunk = group.column("chunk").to_numpy()
+            lm = chunk == c1
+            rm = chunk == c2
+            if not lm.any() or not rm.any():
+                return _EMPTY_PAIRS
+            li, ri = ids[lm], ids[rm]
+            ls, rs = sizes[lm], sizes[rm]
+            a = np.repeat(li, len(ri))
+            b = np.tile(ri, len(li))
+            sa = np.repeat(ls, len(ri))
+            sb = np.tile(rs, len(li))
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            sa2 = np.where(swap, sb, sa)
+            sb2 = np.where(swap, sa, sb)
+            a, b, sa, sb = a2, b2, sa2, sb2
         # J <= min(|A|,|B|)/max(|A|,|B|): prune pairs that cannot reach t
         # (epsilon-loosened — survivors are re-checked exactly in finalize)
         keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
         return pa.table(
             {
-                "doc_a": pa.array(ids[ia][keep]),
-                "doc_b": pa.array(ids[ib][keep]),
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
                 "size_a": pa.array(sa[keep]),
                 "size_b": pa.array(sb[keep]),
             }
         )
 
     pair_counts = (
-        postings.groupby("shingle")
+        postings.map_batches(block_stage, batch_format="pyarrow")
+        .groupby(["shingle", "c1", "c2"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .map_groups(
@@ -763,11 +836,9 @@ def simhash_near_dup_pairs(
             )
         # position-based round-robin chunks (a doc-id hash would bunch
         # duplicate members into one chunk and needs an integer id type)
-        nc = chunk_counts_for(
-            (batch.column("band").to_numpy(), batch.column("bval").to_numpy()),
-            mons,
-        )
-        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc))
+        keys = (batch.column("band").to_numpy(), batch.column("bval").to_numpy())
+        nc = chunk_counts_for(keys, mons)
+        idx, c1, c2, ch = replicate_blocks(nc, assign_chunks(nc, keys))
         sub = batch.take(pa.array(idx))
         return (
             sub.append_column("c1", pa.array(c1.astype(np.int32)))

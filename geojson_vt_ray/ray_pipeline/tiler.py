@@ -355,8 +355,18 @@ def write_pyramid(
     return stats
 
 
-def dataset_from_geojson(data: dict, parallelism: int = -1) -> "ray.data.Dataset":
-    """Driver-side normalization of a GeoJSON value into per-feature rows."""
+def dataset_from_geojson(
+    data: dict, parallelism: int = -1, options: Optional[TilerOptions] = None
+) -> "ray.data.Dataset":
+    """Driver-side normalization of a GeoJSON value into per-feature rows.
+
+    Materializes ``fid_key`` (canonical JSON encoding of the diff id —
+    ``properties[promote_id]`` when the options promote, else the native
+    ``id``) once at ingest so incremental diffs anti-join with a vectorized
+    ``pc.is_in`` instead of re-parsing every feature's JSON per update
+    (reference extracts the same id in `src/convert.ts:117` region)."""
+    from .incremental import fid_key_of_feature
+
     if data.get("type") == "FeatureCollection":
         feats = data["features"]
     elif data.get("type") == "Feature":
@@ -364,12 +374,18 @@ def dataset_from_geojson(data: dict, parallelism: int = -1) -> "ray.data.Dataset
     else:
         feats = [{"type": "Feature", "geometry": data, "properties": None}]
     rows = [
-        {"feature_json": json.dumps(f), "input_seq": i} for i, f in enumerate(feats)
+        {
+            "feature_json": json.dumps(f),
+            "input_seq": i,
+            "fid_key": fid_key_of_feature(f, options),
+        }
+        for i, f in enumerate(feats)
     ]
     if not rows:
         return ray.data.from_arrow(
             pa.table({"feature_json": pa.array([], pa.string()),
-                      "input_seq": pa.array([], pa.int64())})
+                      "input_seq": pa.array([], pa.int64()),
+                      "fid_key": pa.array([], pa.string())})
         )
     return ray.data.from_items(rows, override_num_blocks=max(1, min(len(rows), 64)))
 

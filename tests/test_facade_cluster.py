@@ -80,3 +80,41 @@ def test_cluster_tiles_size_dispatch(ray_session):
     big = cluster_tiles(pts, ClusterOptions(max_zoom=6), zoom=1, exact_max_points=100)
     # grid path emits the cell-local schema (cluster ids per seed), still rows
     assert big.count() > 0
+
+
+def test_grid_cluster_hot_cell_cap(ray_session):
+    """A degenerate corpus (all points in one grid cell) must not serialize
+    into one O(n^2) task: the cap splits the cell, while total point_count
+    is preserved and every point is represented exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import grid_cluster_tiles
+
+    n = 400
+    # identical phash -> every point in the same spot, one hot cell
+    tbl = pa.table(
+        {
+            "image_id": pa.array([f"img-{i:012d}" for i in range(n)], pa.string()),
+            "phash": pa.array(np.full(n, (1 << 40) | 12345, dtype=np.int64)),
+        }
+    )
+
+    def run(cap):
+        pts = ray.data.from_arrow(tbl).repartition(4)
+        return grid_cluster_tiles(
+            pts, ClusterOptions(max_zoom=6), zoom=1, cell_cap=cap
+        ).to_pandas()
+
+    unblocked = run(10**9)
+    blocked = run(50)
+    assert int(unblocked["point_count"].sum()) == n
+    assert int(blocked["point_count"].sum()) == n
+    # unblocked: one cluster; blocked: one cluster per chunk, each <= cap
+    assert len(unblocked) == 1
+    assert len(blocked) == -(-n // 50)
+    # rank restarts per batch (4 partitions), so chunks balance to within
+    # one row per batch of the cap
+    assert blocked["point_count"].max() <= 50 + 4

@@ -168,6 +168,39 @@ def test_ngram_jaccard_exact_and_minhash_recall(ray_session):
     assert high <= lsh  # LSH must recover all strongly-similar pairs here
 
 
+def test_ngram_jaccard_monster_posting_blocking(ray_session):
+    """Triangle blocking of over-cap posting lists: identical (pair,
+    jaccard) rows as the unblocked path on a corpus where one shingle
+    (a shared stopword run) appears in EVERY document."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.text import ngram_jaccard_pairs
+
+    n = 40
+    # common prefix => one hot posting list containing all n docs;
+    # i%4 groups are exact duplicates => high-Jaccard pairs
+    texts = [f"the quick brown fox jumps over lazy dog {i % 4}" for i in range(n)]
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+    def run(cap):
+        ds = ray.data.from_arrow(docs_tbl)
+        out = ngram_jaccard_pairs(ds, threshold=0.3, posting_cap=cap).to_pandas()
+        return set(map(tuple, out[["doc_a", "doc_b", "jaccard"]].itertuples(index=False)))
+
+    naive = run(cap=10**9)
+    blocked = run(cap=6)  # forces ceil(40/6)=7 chunks on the hot postings
+    assert naive == blocked
+    # the 4 exact-duplicate groups are fully paired at J=1.0
+    full = {(a, b) for a, b, j in naive if j == 1.0}
+    assert len(full) == 4 * (n // 4) * (n // 4 - 1) // 2
+
+
 def test_embedding_near_dup_pairs(ray_session):
     import ray.data
 
