@@ -214,3 +214,287 @@ def cluster_tiles(
     if points.count() <= exact_max_points:
         return cluster_tiles_exact(points, options, zoom)
     return grid_cluster_tiles(points, options, zoom)
+
+
+# ------------------------------------------------- all-zooms cluster cascade
+
+# px/py: the tree (fround'd) coordinates every range query runs on;
+# opx/opy: the coordinates a consumer surfaces — the ORIGINAL source
+# geometry for singleton points (reference getClusters returns the source
+# feature, not its fround'd tree copy) and == px/py for cluster rows.
+_CASCADE_SCHEMA = {
+    "zoom": pa.int32(),
+    "cluster_id": pa.int64(),
+    "point_id": pa.string(),
+    "point_count": pa.int64(),
+    "px": pa.float64(),
+    "py": pa.float64(),
+    "opx": pa.float64(),
+    "opy": pa.float64(),
+}
+
+
+def _cascade_table(cols: dict) -> pa.Table:
+    return pa.table({k: pa.array(cols[k], t) for k, t in _CASCADE_SCHEMA.items()})
+
+
+def mercator_points(points: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(image_id, phash) rows → (pid, px, py) mercator point rows (the
+    cascade input shape, so non-phash sources can feed the same stages)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
+
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        return pa.table(
+            {
+                "pid": batch.column("image_id").cast(pa.string()),
+                "px": pa.array(mx),
+                "py": pa.array(my),
+            }
+        )
+
+    return points.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_cascade_exact(
+    points: "ray.data.Dataset", options: Optional[ClusterOptions] = None
+) -> "ray.data.Dataset":
+    """The reference's full minZoom→maxZoom cluster cascade in one Ray pass
+    (`src/cluster-tile-index.ts:109-156`): level z clusters level z+1's
+    output; every zoom's clusters (plus the raw maxZoom+1 level) emit as
+    rows (zoom, cluster_id, point_id, point_count, px, py).
+
+    Bit-exact single-holder path (the greedy is order-dependent, same
+    one-node cap as the reference); `cluster_cascade_grid` is the scale-out
+    variant. Input: (pid, px, py) mercator point rows (`mercator_points`).
+    """
+    options = options or ClusterOptions()
+
+    def run(batch: pa.Table) -> pa.Table:
+        from ..cluster import ClusterIndex
+        from ..cluster.index import OFF_ID, OFF_NUM
+
+        pids = batch.column("pid").to_pylist()
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        feats = [
+            {
+                "id": pids[i],
+                "type": "Point",
+                "geometry": [float(px[i]), float(py[i])],
+                "tags": None,
+                "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+            }
+            for i in range(len(pids))
+        ]
+        index = ClusterIndex(options)
+        index.initialize(feats)
+        out = {k: [] for k in _CASCADE_SCHEMA}
+        stride = index.stride
+        for z in range(options.min_zoom, options.max_zoom + 2):
+            data = index.trees[z].flat_data
+            for i in range(0, len(data), stride):
+                is_cluster = data[i + OFF_NUM] > 1
+                out["zoom"].append(z)
+                out["cluster_id"].append(int(data[i + OFF_ID]) if is_cluster else -1)
+                out["px"].append(data[i])
+                out["py"].append(data[i + 1])
+                if is_cluster:
+                    out["point_id"].append("")
+                    out["opx"].append(data[i])
+                    out["opy"].append(data[i + 1])
+                else:
+                    p = index.points[int(data[i + OFF_ID])]
+                    out["point_id"].append(str(p["id"]))
+                    out["opx"].append(float(p["geometry"][0]))
+                    out["opy"].append(float(p["geometry"][1]))
+                out["point_count"].append(int(data[i + OFF_NUM]))
+        return _cascade_table(out)
+
+    return points.repartition(1).map_batches(
+        run, batch_format="pyarrow", batch_size=None, concurrency=1
+    )
+
+
+def cluster_cascade_grid(
+    points: "ray.data.Dataset",
+    options: Optional[ClusterOptions] = None,
+    cell_cap: int = 65536,
+) -> "ray.data.Dataset":
+    """Scale-out all-zooms cascade: level z greedy-grid-clusters level z+1's
+    output (weighted centroids, point_count-weighted min_points), exactly
+    the reference's level-feeds-level structure but with the per-cell
+    documented deviation of `grid_cluster_tiles` at every level.
+
+    Each level materializes before feeding the next (the level outputs
+    shrink geometrically; the reference likewise holds every zoom's tree in
+    memory) — without it, level z's lineage would recompute all deeper
+    levels per consumer. Hot cells chunk via the shared blocking pattern.
+    """
+    import ray as _ray
+
+    from .blocking import assign_chunks, chunk_counts_for, monster_chunks
+
+    options = options or ClusterOptions()
+
+    def to_level(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        return _cascade_table(
+            {
+                "zoom": np.full(n, options.max_zoom + 1, dtype=np.int32),
+                "cluster_id": np.full(n, -1, dtype=np.int64),
+                "point_id": batch.column("pid").to_pylist(),
+                "point_count": np.ones(n, dtype=np.int64),
+                "px": px,
+                "py": py,
+                "opx": px,
+                "opy": py,
+            }
+        )
+
+    level = points.map_batches(to_level, batch_format="pyarrow").materialize()
+    levels = [level]
+
+    for z in range(options.max_zoom, options.min_zoom - 1, -1):
+        r = options.radius / (options.extent * math.pow(2, z))
+        cell = 4 * r
+
+        def cells_of(batch: pa.Table) -> np.ndarray:
+            cx = np.floor(batch.column("px").to_numpy() / cell).astype(np.int64)
+            cy = np.floor(batch.column("py").to_numpy() / cell).astype(np.int64)
+            return cx * 1_000_003 + cy
+
+        monster_tbl = (
+            level.map_batches(
+                lambda b: pa.table({"cell": pa.array(cells_of(b))}),
+                batch_format="pyarrow",
+            )
+            .groupby("cell")
+            .count()
+            .filter(lambda row: row["count()"] > cell_cap)
+            .to_pandas()
+        )
+        monsters = monster_chunks(monster_tbl, ["cell"], cell_cap)
+        monsters_ref = _ray.put(monsters)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            key = cells_of(batch)
+            mons = _ray.get(monsters_ref)
+            if mons:
+                pchunk = assign_chunks(chunk_counts_for(key, mons), key).astype(np.int32)
+            else:
+                pchunk = np.zeros(len(key), dtype=np.int32)
+            return batch.append_column("cell", pa.array(key)).append_column(
+                "pchunk", pa.array(pchunk)
+            )
+
+        zc, rc, min_pts = z, r, options.min_points
+        # synthetic cluster ids are unique per (zoom, cell, chunk); the zoom
+        # column disambiguates across levels
+        cid_base = (options.max_zoom + 1 - z) << 52
+
+        def cluster_cell(g: pa.Table) -> pa.Table:
+            xs = g.column("px").to_numpy()
+            ys = g.column("py").to_numpy()
+            opxs = g.column("opx").to_numpy()
+            opys = g.column("opy").to_numpy()
+            cnt = g.column("point_count").to_numpy()
+            pids = g.column("point_id")
+            cids = g.column("cluster_id").to_numpy()
+            n = len(xs)
+            visited = np.zeros(n, dtype=bool)
+            out = {k: [] for k in _CASCADE_SCHEMA}
+            # deterministic synthetic cluster id: cell-derived (collision-free
+            # per level because the cell key is unique per group)
+            cell_key = int(g.column("cell")[0].as_py())
+            chunk_key = int(g.column("pchunk")[0].as_py())
+            local = 0
+            for i in range(n):
+                if visited[i]:
+                    continue
+                visited[i] = True
+                d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+                members = np.nonzero((~visited) & (d2 <= rc * rc))[0]
+                total = int(cnt[i] + cnt[members].sum())
+                if total >= min_pts and len(members) > 0:
+                    visited[members] = True
+                    wx = (xs[i] * cnt[i] + (xs[members] * cnt[members]).sum()) / total
+                    wy = (ys[i] * cnt[i] + (ys[members] * cnt[members]).sum()) / total
+                    out["zoom"].append(zc)
+                    out["cluster_id"].append(
+                        cid_base + (abs(cell_key) % (1 << 40)) * 1024 + chunk_key * 64 + local
+                    )
+                    out["point_id"].append("")
+                    out["point_count"].append(total)
+                    out["px"].append(wx)
+                    out["py"].append(wy)
+                    out["opx"].append(wx)
+                    out["opy"].append(wy)
+                    local += 1
+                else:
+                    out["zoom"].append(zc)
+                    out["cluster_id"].append(int(cids[i]))
+                    out["point_id"].append(pids[i].as_py())
+                    out["point_count"].append(int(cnt[i]))
+                    out["px"].append(xs[i])
+                    out["py"].append(ys[i])
+                    out["opx"].append(opxs[i])
+                    out["opy"].append(opys[i])
+            return _cascade_table(out)
+
+        level = (
+            level.map_batches(assign, batch_format="pyarrow")
+            .groupby(["cell", "pchunk"])
+            .map_groups(cluster_cell, batch_format="pyarrow")
+            .materialize()
+        )
+        levels.append(level)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def get_clusters_bbox(
+    cascade: "ray.data.Dataset",
+    bbox: list,
+    zoom: int,
+    options: Optional[ClusterOptions] = None,
+) -> "ray.data.Dataset":
+    """`getClusters(bbox, zoom)` over an all-zooms cascade Dataset —
+    reference semantics (`src/cluster-tile-index.ts:163-192`): lng
+    normalization, antimeridian split, inclusive mercator range at
+    limitZoom(zoom). Vectorized filter; no driver materialization."""
+    from ..kernels.project import project_x, project_y
+
+    options = options or ClusterOptions()
+    zq = max(options.min_zoom, min(int(math.floor(float(zoom))), options.max_zoom + 1))
+
+    min_lng = ((bbox[0] + 180) % 360 + 360) % 360 - 180
+    min_lat = max(-90.0, min(90.0, bbox[1]))
+    max_lng = 180.0 if bbox[2] == 180 else ((bbox[2] + 180) % 360 + 360) % 360 - 180
+    max_lat = max(-90.0, min(90.0, bbox[3]))
+    if bbox[2] - bbox[0] >= 360:
+        min_lng, max_lng = -180.0, 180.0
+
+    ranges = (
+        [(min_lng, 180.0), (-180.0, max_lng)] if min_lng > max_lng else [(min_lng, max_lng)]
+    )
+    xr = [(project_x(a), project_x(b)) for a, b in ranges]
+    y0, y1 = project_y(max_lat), project_y(min_lat)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        z = batch.column("zoom").to_numpy()
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        keep = np.zeros(len(z), dtype=bool)
+        for x0, x1 in xr:
+            keep |= (px >= x0) & (px <= x1)
+        keep &= (z == zq) & (py >= y0) & (py <= y1)
+        return batch.filter(pa.array(keep))
+
+    return cascade.map_batches(filt, batch_format="pyarrow")

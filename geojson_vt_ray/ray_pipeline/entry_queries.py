@@ -578,13 +578,21 @@ def q_rect_vectorize(sf_dir: str):
 
 def q_img_cluster(sf_dir: str):
     """Exact greedy clustering (reference supercluster semantics) of the
-    image points; zoom-1 cluster tiles (non-SQL: order-dependent greedy)."""
-    from ..options import ClusterOptions
-    from .cluster_stage import cluster_tiles_exact
+    image points: the full zoom cascade in one Ray pass, surfaced at zoom 1
+    and a mid-zoom (4) via the bbox query (non-SQL: order-dependent
+    greedy; parity pinned by the places.json cascade tests)."""
+    import pyarrow.compute as pc
 
-    return cluster_tiles_exact(
-        _image_points(sf_dir), ClusterOptions(max_zoom=8), zoom=1
+    from ..options import ClusterOptions
+    from .cluster_stage import cluster_cascade_exact, mercator_points
+
+    cascade = cluster_cascade_exact(
+        mercator_points(_image_points(sf_dir)), ClusterOptions(max_zoom=8)
     )
+    def keep_zooms(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("zoom"), value_set=pa.array([1, 4], pa.int32())))
+
+    return cascade.map_batches(keep_zooms, batch_format="pyarrow")
 
 
 def q_tpch_pricing(sf_dir: str):

@@ -49,33 +49,55 @@ class ImageDecoder:
 
         from ..datagen.images import MAGIC_QLOSSY, MAGIC_RAW
 
-        blobs = batch.column("bytes").to_pylist()
-        n = len(blobs)
+        col = batch.column("bytes")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
         means = np.empty((n, 3), dtype=np.float64)
         npix = np.empty(n, dtype=np.int64)
         if n:
+            # zero-copy views into the Arrow binary buffer: no to_pylist()
+            # bytes copies; zlib inflates straight from memoryview slices
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + n + 1
+            ]
+            data = memoryview(col.buffers()[2])
+            nd = np.frombuffer(data, dtype=np.uint8)
+            # vectorized header parse: magic check + (w, h, c) for all blobs
+            hdr = nd[offs[:-1, None] + np.arange(10)]
+            raw_m = np.frombuffer(MAGIC_RAW, dtype=np.uint8)
+            q_m = np.frombuffer(MAGIC_QLOSSY, dtype=np.uint8)
+            is_raw = (hdr[:, :4] == raw_m).all(axis=1)
+            isq = (hdr[:, :4] == q_m).all(axis=1)
+            if not (is_raw | isq).all():
+                raise ValueError("bad image magic")  # same as decode_image
+            whc = np.ascontiguousarray(hdr[:, 4:10]).view("<u2").astype(np.int64)
             # only the zlib inflate is per-blob (C, variable-size payloads);
-            # dequant + per-channel means run ONCE over the concatenation
-            whc = np.empty((n, 3), dtype=np.int64)
-            isq = np.empty(n, dtype=bool)
-            bufs = []
-            for j, blob in enumerate(blobs):
-                magic = blob[:4]
-                if magic != MAGIC_RAW and magic != MAGIC_QLOSSY:
-                    raise ValueError("bad image magic")  # same as decode_image
-                whc[j] = np.frombuffer(blob[4:10], dtype="<u2")
-                isq[j] = magic == MAGIC_QLOSSY
-                bufs.append(zlib.decompress(blob[10:]))
-            flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-            sizes = whc[:, 0] * whc[:, 1] * whc[:, 2]
-            vals = np.where(np.repeat(isq, sizes), self.dequant[flat], flat)
-            # per-(blob, channel) contiguous segments in planar layout;
-            # reduceat accumulates straight into int64 (exact, no 8x copy)
+            # per-channel sums run batched via reduceat, with raw and qlossy
+            # blobs concatenated separately so the dequant LUT gather only
+            # touches qlossy pixels (no full-size where/repeat temporaries)
+            bufs_raw: list[bytes] = []
+            bufs_q: list[bytes] = []
+            for j in range(n):
+                buf = zlib.decompress(data[offs[j] + 10 : offs[j + 1]])
+                (bufs_q if isq[j] else bufs_raw).append(buf)
             npix = whc[:, 0] * whc[:, 1]
-            seg = np.repeat(npix, whc[:, 2])
-            starts = np.concatenate([[0], np.cumsum(seg)[:-1]])
-            sums = np.add.reduceat(vals, starts, dtype=np.int64)
-            means = sums.reshape(n, 3) / npix[:, None].astype(np.float64)
+            sums = np.empty((n, 3), dtype=np.int64)
+            for mask, bufs, dequant in (
+                (is_raw, bufs_raw, None),
+                (isq, bufs_q, self.dequant),
+            ):
+                if not bufs:
+                    continue
+                flat = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+                if dequant is not None:
+                    flat = dequant[flat]
+                # per-(blob, channel) contiguous segments in planar layout;
+                # reduceat accumulates straight into int64 (exact, no 8x copy)
+                seg = np.repeat(npix[mask], whc[mask, 2])
+                starts = np.concatenate([[0], np.cumsum(seg)[:-1]])
+                sums[mask] = np.add.reduceat(flat, starts, dtype=np.int64).reshape(-1, 3)
+            means = sums / npix[:, None].astype(np.float64)
         out = batch.drop_columns(["bytes"])
         out = out.append_column("mean_r", pa.array(means[:, 0]))
         out = out.append_column("mean_g", pa.array(means[:, 1]))

@@ -118,3 +118,142 @@ def test_grid_cluster_hot_cell_cap(ray_session):
     # rank restarts per batch (4 partitions), so chunks balance to within
     # one row per batch of the cap
     assert blocked["point_count"].max() <= 50 + 4
+
+
+def _places_mercator_points(fixtures):
+    from geojson_vt_ray.kernels.project import project_x, project_y
+
+    places = fixtures("places.json")
+    rows = []
+    for i, f in enumerate(places["features"]):
+        if f["geometry"] is None or f["geometry"]["type"] != "Point":
+            continue
+        lng, lat = f["geometry"]["coordinates"][:2]
+        rows.append(
+            {"pid": str(i), "px": float(project_x(lng)), "py": float(project_y(lat))}
+        )
+    return rows
+
+
+def test_cluster_cascade_exact_matches_local_index(ray_session, fixtures):
+    """Per-zoom distributed cascade output == the local ClusterIndex zoom
+    cascade on places.json (reference cluster-tile-index.ts:109-156)."""
+    import ray.data
+
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.cluster.index import OFF_ID, OFF_NUM
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import cluster_cascade_exact
+
+    rows = _places_mercator_points(fixtures)
+    options = ClusterOptions(max_zoom=6)
+
+    got = cluster_cascade_exact(
+        ray.data.from_items(rows).repartition(3), options
+    ).to_pandas()
+
+    feats = [
+        {
+            "id": r["pid"], "type": "Point",
+            "geometry": [r["px"], r["py"]], "tags": None,
+            "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+        }
+        for r in rows
+    ]
+    index = ClusterIndex(options)
+    index.initialize(feats)
+    for z in range(options.min_zoom, options.max_zoom + 2):
+        data = index.trees[z].flat_data
+        want = set()
+        for i in range(0, len(data), index.stride):
+            is_cluster = data[i + OFF_NUM] > 1
+            want.add(
+                (
+                    int(data[i + OFF_ID]) if is_cluster else -1,
+                    "" if is_cluster else str(index.points[int(data[i + OFF_ID])]["id"]),
+                    int(data[i + OFF_NUM]),
+                    data[i],
+                    data[i + 1],
+                )
+            )
+        lv = got[got.zoom == z]
+        have = set(
+            map(
+                tuple,
+                lv[["cluster_id", "point_id", "point_count", "px", "py"]].itertuples(
+                    index=False
+                ),
+            )
+        )
+        assert have == want, f"zoom {z}"
+    assert (got[got.zoom == options.max_zoom + 1].point_count == 1).all()
+
+
+def test_get_clusters_bbox_matches_local(ray_session, fixtures):
+    """Dataset-side getClusters(bbox, zoom) == ClusterIndex.get_clusters on
+    places.json, including an antimeridian-crossing bbox."""
+    import ray.data
+
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.kernels.project import unproject_x, unproject_y
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import (
+        cluster_cascade_exact,
+        get_clusters_bbox,
+    )
+
+    rows = _places_mercator_points(fixtures)
+    options = ClusterOptions(max_zoom=6)
+    cascade = cluster_cascade_exact(ray.data.from_items(rows), options).materialize()
+
+    feats = [
+        {
+            "id": r["pid"], "type": "Point",
+            "geometry": [r["px"], r["py"]], "tags": None,
+            "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+        }
+        for r in rows
+    ]
+    index = ClusterIndex(options)
+    index.initialize(feats)
+
+    for bbox, zoom in [
+        ([-100.0, 10.0, 30.0, 60.0], 2),
+        ([150.0, -40.0, -120.0, 20.0], 3),  # crosses the antimeridian
+        ([-180.0, -85.0, 180.0, 85.0], 0),
+    ]:
+        want = []
+        for f in index.get_clusters(bbox, zoom):
+            props = f.get("properties") or {}
+            lng, lat = f["geometry"]["coordinates"][:2]
+            want.append((int(props.get("point_count", 1)), round(lng, 9), round(lat, 9)))
+        got_df = get_clusters_bbox(cascade, bbox, zoom, options).to_pandas()
+        got = [
+            (int(c), round(unproject_x(x), 9), round(unproject_y(y), 9))
+            for c, x, y in zip(got_df.point_count, got_df.opx, got_df.opy)
+        ]
+        assert sorted(got) == sorted(want), (bbox, zoom)
+
+
+def test_cluster_cascade_grid_invariants(ray_session, fixtures):
+    """Scale-out cascade: per-level point_count totals are conserved and the
+    coarsest level has no more rows than the finest."""
+    import ray.data
+
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import cluster_cascade_grid
+
+    rows = _places_mercator_points(fixtures)
+    options = ClusterOptions(max_zoom=5)
+    got = cluster_cascade_grid(
+        ray.data.from_items(rows).repartition(3), options
+    ).to_pandas()
+    n = len(rows)
+    counts = got.groupby("zoom").point_count.sum()
+    for z in range(options.min_zoom, options.max_zoom + 2):
+        assert counts[z] == n, z
+    sizes = got.groupby("zoom").size()
+    assert sizes[options.min_zoom] <= sizes[options.max_zoom + 1]
+    # cluster rows carry synthetic ids, singleton points keep their identity
+    lv0 = got[got.zoom == options.min_zoom]
+    assert ((lv0.point_count > 1) == (lv0.point_id == "")).all()
