@@ -586,20 +586,24 @@ def compact_pyramid_updates(out_dir: str) -> dict:
         # the writer's add_bin stage
         return int((tk * 0x9E3779B97F4A7C15) % (1 << 62)) % n_bins
 
-    # updates are O(affected tiles) by construction — read them once,
-    # newest-wins per key, group rows by destination bin
-    per_bin: dict[int, dict[tuple[int, int, int], Optional[dict]]] = {}
+    # the driver holds only (part, row-index) ROUTING per bin — never the
+    # features_json payloads: each compact task reads its own slice of the
+    # update files, so update volume bounds task memory, not driver memory
+    per_bin: dict[int, list[tuple[str, list[int]]]] = {}
     for upd in upd_dirs:
         for part in sorted(glob.glob(os.path.join(upd, "**", "*.parquet"), recursive=True)):
-            for row in pq.read_table(part, columns=TILE_COLUMNS).to_pylist():
-                key = (row["z"], row["x"], row["y"])
-                b = row_bin(*key)
-                per_bin.setdefault(b, {})[key] = (
-                    None if row["num_features"] < 0 else row
-                )
+            coords = pq.read_table(part, columns=["z", "x", "y"])
+            zs = coords.column("z").to_pylist()
+            xs = coords.column("x").to_pylist()
+            ys = coords.column("y").to_pylist()
+            rows_of: dict[int, list[int]] = {}
+            for i, (z, x, y) in enumerate(zip(zs, xs, ys)):
+                rows_of.setdefault(row_bin(z, x, y), []).append(i)
+            for b, idxs in rows_of.items():
+                per_bin.setdefault(b, []).append((part, idxs))
 
     @ray.remote
-    def compact_bin(b: int, updates: dict) -> int:
+    def compact_bin(b: int, update_slices: list) -> int:
         part_dir = os.path.join(out_dir, "bins", f"skey={b}")
         os.makedirs(part_dir, exist_ok=True)
         old = sorted(glob.glob(os.path.join(part_dir, "*.parquet")))
@@ -607,11 +611,15 @@ def compact_pyramid_updates(out_dir: str) -> dict:
         for p in old:
             for row in pq.read_table(p, columns=TILE_COLUMNS).to_pylist():
                 merged[(row["z"], row["x"], row["y"])] = row
-        for key, row in updates.items():
-            if row is None:
-                merged.pop(key, None)
-            else:
-                merged[key] = row
+        # slices arrive in upd-dir order, so later updates win per key
+        for part, idxs in update_slices:
+            t = pq.read_table(part, columns=TILE_COLUMNS).take(idxs)
+            for row in t.to_pylist():
+                key = (row["z"], row["x"], row["y"])
+                if row["num_features"] < 0:
+                    merged.pop(key, None)
+                else:
+                    merged[key] = row
         rows = sorted(merged.values(), key=lambda r: (r["z"], r["x"], r["y"]))
         table = pa.table(
             {
@@ -636,7 +644,7 @@ def compact_pyramid_updates(out_dir: str) -> dict:
                 os.remove(p)
         return len(rows)
 
-    refs = [compact_bin.remote(b, updates) for b, updates in per_bin.items()]
+    refs = [compact_bin.remote(b, slices) for b, slices in per_bin.items()]
     counts = ray.get(refs)
 
     shutil.rmtree(os.path.join(out_dir, "_updates"))

@@ -509,21 +509,56 @@ def hilbert_bbox_ranges(
     contiguous ranges (O(perimeter), not O(area) — asserted in tests),
     so a sorted-by-cell table serves the bbox with few range scans.
 
-    Returns (starts, ends), inclusive, sorted."""
+    Returns (starts, ends), inclusive, sorted.
+
+    Implementation is a quadtree descent, never the cell grid: only nodes
+    CROSSING the bbox boundary recurse (a node fully inside emits its whole
+    contiguous Hilbert subtree range [h·4^(level-d), (h+1)·4^(level-d)-1] —
+    the curve is hierarchical, each parent covers a contiguous id block),
+    so work is O(perimeter · level) even for a wide bbox at a fine level."""
     n = 1 << level
     cx0 = max(0, min(n - 1, int(np.floor(x0 * n))))
     cy0 = max(0, min(n - 1, int(np.floor(y0 * n))))
     cx1 = max(0, min(n - 1, int(np.floor(x1 * n))))
     cy1 = max(0, min(n - 1, int(np.floor(y1 * n))))
-    gx, gy = np.meshgrid(
-        np.arange(cx0, cx1 + 1, dtype=np.uint64),
-        np.arange(cy0, cy1 + 1, dtype=np.uint64),
-    )
-    ids = np.sort(hilbert_encode(gx.ravel(), gy.ravel(), level))
-    # compress consecutive ids into inclusive ranges
-    breaks = np.nonzero(np.diff(ids) > 1)[0]
-    starts = np.concatenate([[ids[0]], ids[breaks + 1]])
-    ends = np.concatenate([ids[breaks], [ids[-1]]])
+    starts_l: list[np.ndarray] = []
+    ends_l: list[np.ndarray] = []
+    fx = np.zeros(1, dtype=np.uint64)
+    fy = np.zeros(1, dtype=np.uint64)
+    for d in range(level + 1):
+        side = np.uint64(level - d)  # node covers 2^side level-cells per axis
+        lo_x = fx << side
+        hi_x = ((fx + np.uint64(1)) << side) - np.uint64(1)
+        lo_y = fy << side
+        hi_y = ((fy + np.uint64(1)) << side) - np.uint64(1)
+        overlap = (hi_x >= cx0) & (lo_x <= cx1) & (hi_y >= cy0) & (lo_y <= cy1)
+        full = (
+            overlap & (lo_x >= cx0) & (hi_x <= cx1) & (lo_y >= cy0) & (hi_y <= cy1)
+        )
+        if full.any():
+            h = hilbert_encode(fx[full], fy[full], d).astype(np.uint64)
+            starts_l.append(h << (np.uint64(2) * side))
+            ends_l.append(((h + np.uint64(1)) << (np.uint64(2) * side)) - np.uint64(1))
+        part = overlap & ~full  # at d == level, full == overlap → part empties
+        if not part.any():
+            break
+        px, py = fx[part], fy[part]
+        fx = np.repeat(px << np.uint64(1), 4) + np.tile(
+            np.array([0, 1, 0, 1], dtype=np.uint64), len(px)
+        )
+        fy = np.repeat(py << np.uint64(1), 4) + np.tile(
+            np.array([0, 0, 1, 1], dtype=np.uint64), len(py)
+        )
+    starts = np.concatenate(starts_l)
+    ends = np.concatenate(ends_l)
+    order = np.argsort(starts)
+    starts, ends = starts[order], ends[order]
+    # merge ranges made adjacent across subtree boundaries
+    if len(starts) > 1:
+        gap = starts[1:] > ends[:-1] + np.uint64(1)
+        keep_s = np.concatenate([[True], gap])
+        keep_e = np.concatenate([gap, [True]])
+        starts, ends = starts[keep_s], ends[keep_e]
     return starts.astype(np.int64), ends.astype(np.int64)
 
 

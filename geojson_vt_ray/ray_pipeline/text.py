@@ -410,6 +410,124 @@ def minhash_candidate_pairs(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+def verify_jaccard_distributed(
+    docs: "ray.data.Dataset",
+    candidate_pairs: "ray.data.Dataset",
+    threshold: float = 0.7,
+    shingle_k: int = 3,
+    posting_cap: int = 4096,
+) -> "ray.data.Dataset":
+    """Exact-Jaccard verification of LSH candidate pairs with NOTHING on the
+    driver — the scale path when a low-threshold run emits millions of
+    candidates (`verify_jaccard` below is the small-set driver-side twin).
+
+    1. semi-join the docs table to the candidate doc ids (one
+       ``groupby(doc_id)`` co-partition — no broadcast id set, candidate
+       texts shuffle once);
+    2. run the exact inverted-index Jaccard (`ngram_jaccard_pairs`, with its
+       posting-list skew guard) over just the candidate docs;
+    3. inner-join the exact pairs back to the candidate pair set with one
+       ``groupby(doc_a, doc_b)`` co-partition.
+
+    Returns (doc_a, doc_b, jaccard) rows with jaccard >= threshold.
+    ``candidate_pairs`` is a Dataset with int64 doc_a < doc_b columns
+    (e.g. `minhash_candidate_pairs` output).
+    """
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        a = batch.column("doc_a").to_numpy()
+        b = batch.column("doc_b").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b])),
+                "text": pa.array([""] * (len(a) + len(b)), pa.string()),
+                "is_need": pa.array(np.ones(len(a) + len(b), dtype=np.int8)),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": batch.column("text").cast(pa.string()),
+                "is_need": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    tagged = docs.map_batches(doc_rows, batch_format="pyarrow").union(
+        candidate_pairs.map_batches(pair_ids, batch_format="pyarrow")
+    )
+
+    def semi_join(g: pa.Table) -> pa.Table:
+        need = g.column("is_need").to_numpy()
+        if not need.any() or need.all():
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+            )
+        i = int(np.nonzero(need == 0)[0][0])
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").slice(i, 1),
+                "text": g.column("text").slice(i, 1),
+            }
+        )
+
+    cand_docs = tagged.groupby("doc_id").map_groups(semi_join, batch_format="pyarrow")
+    exact = ngram_jaccard_pairs(
+        cand_docs, threshold=threshold, shingle_k=shingle_k, posting_cap=posting_cap
+    )
+
+    def exact_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "jaccard": batch.column("jaccard"),
+                "is_cand": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a").cast(pa.int64()),
+                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "jaccard": pa.array(np.zeros(n, dtype=np.float64)),
+                "is_cand": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    joined = exact.map_batches(exact_rows, batch_format="pyarrow").union(
+        candidate_pairs.map_batches(cand_rows, batch_format="pyarrow")
+    )
+
+    def keep_candidates(g: pa.Table) -> pa.Table:
+        cand = g.column("is_cand").to_numpy()
+        if not cand.any() or cand.all():
+            return pa.table(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        i = int(np.nonzero(cand == 0)[0][0])
+        return pa.table(
+            {
+                "doc_a": g.column("doc_a").slice(i, 1),
+                "doc_b": g.column("doc_b").slice(i, 1),
+                "jaccard": g.column("jaccard").slice(i, 1),
+            }
+        )
+
+    return joined.groupby(["doc_a", "doc_b"]).map_groups(
+        keep_candidates, batch_format="pyarrow"
+    )
+
+
 def verify_jaccard(
     docs: "ray.data.Dataset",
     candidate_pairs: list[tuple[int, int]],
@@ -417,7 +535,8 @@ def verify_jaccard(
     threshold: float = 0.7,
 ) -> list[tuple[int, int, float]]:
     """Exact Jaccard verification of candidate pairs (small candidate set:
-    texts fetched via a broadcast filter)."""
+    texts fetched via a broadcast filter; driver-bound by design — use
+    `verify_jaccard_distributed` when candidate volume is unbounded)."""
     import ray as _ray
 
     need = {d for p in candidate_pairs for d in p}

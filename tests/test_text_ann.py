@@ -361,3 +361,37 @@ def test_normalize_docs(ray_session):
     want = [re.sub(r"[ \t\n\r\f]+", " ", t.lower()).strip(" ") for t in texts]
     assert got["norm_text"].tolist() == want
     assert got["norm_chars"].tolist() == [len(w) for w in want]
+
+
+def test_verify_jaccard_distributed_matches_driver(ray_session):
+    """The no-driver verification pipeline returns the same verified
+    (pair, jaccard) rows as the broadcast/driver-side verify_jaccard."""
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.text import (
+        minhash_candidate_pairs,
+        verify_jaccard,
+        verify_jaccard_distributed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    mid = base.replace("again and again", "sometimes perhaps maybe")
+    texts = [base, near, mid] + [
+        f"totally different document number {i} with words w{i} x{i} y{i} z{i} "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        for i in range(20)
+    ]
+    docs = _docs_ds(texts)
+    cands = minhash_candidate_pairs(docs).materialize()
+    pair_list = [(int(r["doc_a"]), int(r["doc_b"])) for r in cands.iter_rows()]
+    assert (0, 1) in pair_list
+
+    want = {
+        (a, b): j for a, b, j in verify_jaccard(docs, pair_list, threshold=0.5)
+    }
+    got_df = verify_jaccard_distributed(docs, cands, threshold=0.5).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)): r.jaccard for r in got_df.itertuples()}
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert got[k] == pytest.approx(j, rel=1e-12)
