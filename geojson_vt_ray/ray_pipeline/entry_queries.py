@@ -544,24 +544,12 @@ def q_doc_bpe_tokens(sf_dir: str):
     return bpe_token_counts(docs)
 
 
-def q_rect_raster(sf_dir: str):
-    """Raster tiles from the sliced rectangle layer (z0..z3): per-tile
-    scanline rasterization coverage (non-SQL)."""
-    from ..datagen.rects import rect_geojson
-    from ..options import TilerOptions
-    from .raster import rasterize_tiles
-    from .tiler import build_tiles, dataset_from_geojson
-
-    keys = _part_keys(sf_dir)
-    gj = rect_geojson(keys[:200])
-    tiles = build_tiles(dataset_from_geojson(gj), TilerOptions(max_zoom=3), mode="pyramid")
-    return rasterize_tiles(tiles, size=64).select_columns(["z", "x", "y", "coverage"])
-
-
-def q_rect_vectorize(sf_dir: str):
-    """Raster → vector polygonization of the rasterized rectangle tiles
-    (the inverse direction of `rect_raster`; round-trip bit-exactness is the
-    pytest oracle — re-rasterizing the rings reproduces each mask)."""
+def q_rect_raster_vectorize(sf_dir: str):
+    """Raster↔vector round trip in one pipeline: scanline rasterization of
+    the sliced rectangle tiles (z0..z3) followed by polygonization of the
+    masks — one row per tile carrying BOTH the raster coverage and the
+    vectorized ring/vertex counts (non-SQL; round-trip bit-exactness —
+    re-rasterizing the rings reproduces each mask — is the pytest oracle)."""
     from ..datagen.rects import rect_geojson
     from ..options import TilerOptions
     from .raster import rasterize_tiles, vectorize_tiles
@@ -572,7 +560,7 @@ def q_rect_vectorize(sf_dir: str):
     tiles = build_tiles(dataset_from_geojson(gj), TilerOptions(max_zoom=3), mode="pyramid")
     rasters = rasterize_tiles(tiles, size=64)
     return vectorize_tiles(rasters, size=64).select_columns(
-        ["z", "x", "y", "num_rings", "num_vertices"]
+        ["z", "x", "y", "coverage", "num_rings", "num_vertices"]
     )
 
 
@@ -918,16 +906,15 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_sample": q_doc_sample,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
-    # ---- pytest-oracled / non-SQL (12) --------------------------------
+    # ---- pytest-oracled / non-SQL (11) --------------------------------
     "video_frames": q_video_frames,
     "rect_pyramid": q_rect_pyramid,
     "img_cluster": q_img_cluster,
+    "rect_raster_vectorize": q_rect_raster_vectorize,
     "img_decode_stats": q_img_decode_stats,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "img_embed_topk": q_img_embed_topk,
-    "rect_raster": q_rect_raster,
-    "rect_vectorize": q_rect_vectorize,
     "events_hll_users": q_events_hll_users,
     "events_value_sketch": q_events_value_sketch,
     "doc_heavy_hitters": q_doc_heavy_hitters,

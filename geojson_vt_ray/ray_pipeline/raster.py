@@ -230,15 +230,18 @@ def vectorize_tiles(
                     [{"type": 3, "geometry": scaled, "tags": {}}] if rings else []
                 )
             )
-        return pa.table(
-            {
-                "z": batch.column("z"),
-                "x": batch.column("x"),
-                "y": batch.column("y"),
-                "features_json": pa.array(feats, pa.string()),
-                "num_rings": pa.array(n_rings),
-                "num_vertices": pa.array(n_verts),
-            }
-        )
+        cols = {
+            "z": batch.column("z"),
+            "x": batch.column("x"),
+            "y": batch.column("y"),
+            "features_json": pa.array(feats, pa.string()),
+            "num_rings": pa.array(n_rings),
+            "num_vertices": pa.array(n_verts),
+        }
+        if "coverage" in batch.column_names:
+            # pass the raster-side coverage through so a round-trip pipeline
+            # surfaces both directions' metrics in one row
+            cols["coverage"] = batch.column("coverage")
+        return pa.table(cols)
 
     return rasters.map_batches(fn, batch_format="pyarrow")
