@@ -401,3 +401,29 @@ def ivf_topk(
     return partial.groupby("query_id").map_groups(
         _topk_merge(k, exclude_self=True), batch_format="pyarrow"
     )
+
+
+def embedding_dedup_clusters(
+    embeddings: "ray.data.Dataset",
+    threshold: float,
+    inorder: bool = True,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-duplicate CLUSTERS: connected components of the
+    `embedding_near_dup_pairs` graph, one row per vector with its cluster
+    representative (min vec_id) and size — the semantic-dedup primitive
+    (`WHERE vec_id = cluster_id` keeps one exemplar per cluster).
+
+    Composition of two existing distributed stages: the exact grid
+    self-join for pairs, then hash-to-min label propagation
+    (`graph.connected_components`, O(E) int64 pairs per round). Only ids
+    shuffle in the components rounds; embeddings never leave the pair
+    stage."""
+    from .graph import connected_components, labeled_clusters
+
+    pairs = embedding_near_dup_pairs(embeddings, threshold, inorder=inorder)
+    ids = embeddings.select_columns(["vec_id"])
+    cc = connected_components(
+        pairs, "vec_a", "vec_b", nodes=ids, node_col="vec_id", n_buckets=n_buckets
+    )
+    return labeled_clusters(cc, id_col="vec_id", n_buckets=n_buckets)

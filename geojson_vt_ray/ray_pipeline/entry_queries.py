@@ -506,6 +506,17 @@ def q_emb_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(emb, threshold=0.32)
 
 
+def q_emb_dup_clusters(sf_dir: str):
+    """Semantic-dedup clusters: connected components of the exact
+    embedding-cosine near-dup graph (threshold 0.32); every vector labeled
+    with its cluster representative and size. Oracle: the same cosine pair
+    graph in SQL + a recursive min-label propagation CTE."""
+    from .ann import embedding_dedup_clusters
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dedup_clusters(emb, threshold=0.32)
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs via the distributed inverted-index
     join (oracle: all-pairs SQL over string shingles — same answer)."""
@@ -861,7 +872,7 @@ def q_doc_stratified_sample(sf_dir: str):
 # important first, so under a 50-row cap only the least critical of the
 # pytest-covered entries are skipped.
 QUERIES: dict[str, Callable[[str], Any]] = {
-    # ---- SQL-oracled (44) ---------------------------------------------
+    # ---- SQL-oracled (45) ---------------------------------------------
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
     "img_rect_join": q_img_rect_join,
@@ -892,6 +903,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_asof": q_events_asof,
     "ann_topk": q_ann_topk,
     "emb_near_dup": q_emb_near_dup,
+    "emb_dup_clusters": q_emb_dup_clusters,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_bpe_tokens": q_doc_bpe_tokens,
     "tpch_pricing": q_tpch_pricing,
@@ -1302,6 +1314,24 @@ ORACLES: dict[str, str] = {
         WHERE b.vec_id > a.vec_id
           AND list_dot_product(a.e, b.e)
                 / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.32
+    """,
+    "emb_dup_clusters": """
+        WITH RECURSIVE v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        prs AS (SELECT a.vec_id AS pa, b.vec_id AS pb
+                FROM v a, v b
+                WHERE b.vec_id > a.vec_id
+                  AND list_dot_product(a.e, b.e)
+                        / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)) >= 0.32),
+        edges AS (SELECT pa AS a, pb AS b FROM prs UNION ALL SELECT pb, pa FROM prs),
+        cc(node, label) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.b, cc.label FROM cc JOIN edges e ON e.a = cc.node
+        ),
+        labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+        SELECT node AS vec_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        FROM labels
     """,
     "doc_fingerprints": """
         SELECT doc_id,

@@ -1033,41 +1033,9 @@ def simhash_dedup_clusters(
         pairs, "doc_a", "doc_b", nodes=ids, node_col="doc_id", n_buckets=n_buckets
     )
 
-    def with_bucket(batch: pa.Table) -> pa.Table:
-        comp = batch.column("component").to_numpy().astype(np.uint64)
-        b = ((comp * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(n_buckets)).astype(
-            np.int32
-        )
-        return batch.append_column("cbucket", pa.array(b))
+    from .graph import labeled_clusters
 
-    def attach_size(group: pa.Table) -> pa.Table:
-        if group.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "cluster_id": pa.array([], pa.int64()),
-                    "cluster_size": pa.array([], pa.int64()),
-                }
-            )
-        node = group.column("node").to_numpy()
-        comp = group.column("component").to_numpy()
-        order = np.argsort(comp, kind="stable")
-        node, comp = node[order], comp[order]
-        starts = np.nonzero(np.concatenate(([True], comp[1:] != comp[:-1])))[0]
-        counts = np.diff(np.append(starts, len(comp)))
-        return pa.table(
-            {
-                "doc_id": pa.array(node.astype(np.int64)),
-                "cluster_id": pa.array(comp.astype(np.int64)),
-                "cluster_size": pa.array(np.repeat(counts, counts).astype(np.int64)),
-            }
-        )
-
-    return (
-        cc.map_batches(with_bucket, batch_format="pyarrow")
-        .groupby("cbucket")
-        .map_groups(attach_size, batch_format="pyarrow")
-    )
+    return labeled_clusters(cc, id_col="doc_id", n_buckets=n_buckets)
 
 
 def batch_token_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:

@@ -395,3 +395,34 @@ def test_verify_jaccard_distributed_matches_driver(ray_session):
     assert set(got) == set(want)
     for k, j in want.items():
         assert got[k] == pytest.approx(j, rel=1e-12)
+
+
+def test_embedding_dedup_clusters(ray_session):
+    """Cosine near-dup components label every vector; duplicate groups share
+    the min vec_id and singletons keep themselves."""
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.ann import embedding_dedup_clusters
+
+    rs = np.random.RandomState(5)
+    a = rs.standard_normal(8)
+    b = rs.standard_normal(8)
+    vecs = [a, a * 2.0, a + 1e-4 * rs.standard_normal(8),  # cluster of 3 (0,1,2)
+            b, -b]                                          # 3 singleton-ish (cos(b,-b)=-1)
+    vecs += [rs.standard_normal(8) for _ in range(10)]
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_dedup_clusters(
+        ray.data.from_arrow(table), threshold=0.95
+    ).to_pandas().set_index("vec_id").sort_index()
+    assert len(out) == len(vecs)  # every vector labeled
+    assert out.loc[0, "cluster_id"] == out.loc[1, "cluster_id"] == out.loc[2, "cluster_id"] == 0
+    assert out.loc[0, "cluster_size"] == 3
+    assert out.loc[4, "cluster_id"] == 4 and out.loc[4, "cluster_size"] == 1
+    # keep-one filter keeps exactly one exemplar per cluster
+    keep = out[out.index == out.cluster_id]
+    assert len(keep) == out.cluster_id.nunique()
