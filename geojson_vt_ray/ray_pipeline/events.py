@@ -56,7 +56,10 @@ def tumbling_window_stats(
 
 
 def sessionize(
-    events: "ray.data.Dataset", gap_us: int = 1_800_000_000
+    events: "ray.data.Dataset",
+    gap_us: int = 1_800_000_000,
+    user_cap: int = 1_000_000,
+    salt_window_us: int = 86_400_000_000,
 ) -> "ray.data.Dataset":
     """Gap-based sessionization: one output row per (user, session), where a
     session breaks whenever consecutive events of a user are more than
@@ -65,9 +68,16 @@ def sessionize(
 
     Shape: project to (user_id, epoch_us) in a map stage, then ONE
     ``groupby(user_id)`` shuffle with a vectorized diff/cumsum per group.
-    Scale note: a pathologically hot user serializes in one group; the
-    scale path salts on (user, day-bucket) and merges boundary sessions
-    with a tiny per-user pass — not needed at tested cardinalities.
+
+    Skew guard (hot users): a user with more than ``user_cap`` events salts
+    into (user, time-bucket) groups of width ``salt_window_us`` (default
+    1 day); bucket-level sessions are computed per salted group, then ONE
+    tiny per-user stitch pass merges boundary sessions whose gap across the
+    bucket edge is ≤ gap_us. The stitch group holds SESSIONS, whose count
+    is bounded by the user's active time range / gap — not by event count —
+    so no task ever sees more than ~cap raw events. Result is identical to
+    the unsalted path (gap-merge is associative over a time partition;
+    pinned by the salted==unsalted equality test).
     """
 
     def project(batch: pa.Table) -> pa.Table:
@@ -78,12 +88,53 @@ def sessionize(
             }
         )
 
-    def per_user(g: pa.Table) -> pa.Table:
+    projected = events.map_batches(project, batch_format="pyarrow")
+
+    import ray as _ray
+
+    hot_tbl = (
+        projected.groupby("user_id")
+        .count()
+        .filter(lambda r: r["count()"] > user_cap)
+        .to_pandas()
+    )
+    hot_users = frozenset(int(u) for u in hot_tbl["user_id"]) if len(hot_tbl) else frozenset()
+    hot_ref = _ray.put(hot_users)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        hot = _ray.get(hot_ref)
+        uid = batch.column("user_id").to_numpy()
+        us = batch.column("us").to_numpy()
+        if hot:
+            is_hot = np.isin(uid, np.fromiter(hot, dtype=np.int64, count=len(hot)))
+            salt = np.where(is_hot, us // salt_window_us, 0)
+        else:
+            is_hot = np.zeros(len(uid), dtype=bool)
+            salt = np.zeros(len(uid), dtype=np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "salt": pa.array(salt.astype(np.int64)),
+                "hot": pa.array(is_hot),
+                "us": batch.column("us"),
+            }
+        )
+
+    _SESSION_SCHEMA = {
+        "user_id": pa.int64(),
+        "session_id": pa.int64(),
+        "session_start_us": pa.int64(),
+        "session_end_us": pa.int64(),
+        "n_events": pa.int64(),
+    }
+
+    def per_group(g: pa.Table) -> pa.Table:
         us = np.sort(g.column("us").to_numpy())
         new_session = np.concatenate(([True], np.diff(us) > gap_us))
         starts = np.nonzero(new_session)[0]
         ends = np.append(starts[1:], len(us)) - 1
         uid = g.column("user_id")[0].as_py()
+        hot = bool(g.column("hot")[0].as_py())
         n = len(starts)
         return pa.table(
             {
@@ -92,12 +143,71 @@ def sessionize(
                 "session_start_us": pa.array(us[starts], pa.int64()),
                 "session_end_us": pa.array(us[ends], pa.int64()),
                 "n_events": pa.array(np.diff(np.append(starts, len(us))), pa.int64()),
+                "hot": pa.array(np.full(n, hot)),
             }
         )
 
-    return events.map_batches(project, batch_format="pyarrow").groupby("user_id").map_groups(
-        per_user, batch_format="pyarrow"
+    grouped = (
+        projected.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["user_id", "salt"])
+        .map_groups(per_group, batch_format="pyarrow")
     )
+
+    def _sessions_table(cols: dict) -> pa.Table:
+        return pa.table({k: pa.array(cols[k], t) for k, t in _SESSION_SCHEMA.items()})
+
+    if not hot_users:
+        return grouped.map_batches(
+            lambda b: b.drop_columns(["hot"]), batch_format="pyarrow"
+        )
+
+    # sessions are tiny relative to events; pin them so the cold/hot split
+    # doesn't recompute the groupby twice
+    grouped = grouped.materialize()
+
+    def split(keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = batch.column("hot")
+            if not keep_hot:
+                mask = pc.invert(mask)
+            return batch.filter(mask).drop_columns(["hot"])
+
+        return fn
+
+    cold = grouped.map_batches(split(False), batch_format="pyarrow")
+
+    def stitch(g: pa.Table) -> pa.Table:
+        s = g.column("session_start_us").to_numpy()
+        e = g.column("session_end_us").to_numpy()
+        n_ev = g.column("n_events").to_numpy()
+        order = np.argsort(s, kind="stable")
+        s, e, n_ev = s[order], e[order], n_ev[order]
+        # merge consecutive bucket-level sessions across bucket edges
+        new = np.concatenate(([True], s[1:] - e[:-1] > gap_us))
+        grp = np.cumsum(new) - 1
+        m = int(grp[-1]) + 1 if len(grp) else 0
+        starts = s[new]
+        ends = np.zeros(m, dtype=np.int64)
+        np.maximum.at(ends, grp, e)
+        counts = np.zeros(m, dtype=np.int64)
+        np.add.at(counts, grp, n_ev)
+        uid = int(g.column("user_id")[0].as_py())
+        return _sessions_table(
+            {
+                "user_id": np.full(m, uid, dtype=np.int64),
+                "session_id": np.arange(1, m + 1, dtype=np.int64),
+                "session_start_us": starts,
+                "session_end_us": ends,
+                "n_events": counts,
+            }
+        )
+
+    hot_sessions = (
+        grouped.map_batches(split(True), batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(stitch, batch_format="pyarrow")
+    )
+    return cold.union(hot_sessions)
 
 
 def distinct_users_window(

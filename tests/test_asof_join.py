@@ -48,3 +48,56 @@ def test_asof_join_latest_matches_pandas(ray_session, seed):
     pd.testing.assert_series_equal(
         got["matched_ts"], want["matched_ts"], check_names=False
     )
+
+
+def test_sessionize_hot_user_salting_equals_unsalted(ray_session):
+    """A hot user salted into day buckets yields the identical session rows
+    as the unsalted single-group path, including sessions that span bucket
+    edges (events on both sides within the gap)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.events import sessionize
+
+    day = 86_400_000_000
+    gap = 1_800_000_000
+    rs = np.random.RandomState(9)
+    ts = []
+    # hot user 7: bursts across 5 days, some spanning midnight within gap
+    t = day * 10
+    for _ in range(600):
+        step = int(rs.choice([60_000_000, 600_000_000, gap + 1_000_000, day // 3]))
+        t += step
+        ts.append((7, t))
+    # guarantee a bucket-edge session: events 1s before and after a midnight
+    edge = day * 12
+    ts += [(7, edge - 1_000_000), (7, edge + 1_000_000)]
+    # a couple of cold users
+    for u in (1, 2):
+        t0 = day * 11
+        for k in range(5):
+            ts.append((u, t0 + k * (gap * 2)))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in ts], pa.int64()),
+            "ts": pa.array([t for _, t in ts], pa.int64()),
+        }
+    )
+
+    def run(cap):
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        df = sessionize(ds, gap_us=gap, user_cap=cap).to_pandas()
+        return sorted(
+            map(
+                tuple,
+                df[
+                    ["user_id", "session_start_us", "session_end_us", "n_events"]
+                ].itertuples(index=False),
+            )
+        )
+
+    unsalted = run(10**9)
+    salted = run(100)  # user 7 (602 events) goes over the cap
+    assert salted == unsalted
+    assert len(unsalted) > 3
