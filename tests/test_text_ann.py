@@ -426,3 +426,27 @@ def test_embedding_dedup_clusters(ray_session):
     # keep-one filter keeps exactly one exemplar per cluster
     keep = out[out.index == out.cluster_id]
     assert len(keep) == out.cluster_id.nunique()
+
+
+def test_minhash_mersenne_fold_equals_modulo():
+    """The cache-blocked Mersenne fold in MinHasher.signatures must be
+    bit-identical to the plain (a*h+b) % (2^31-1) formula the SQL oracle
+    evaluates."""
+    from geojson_vt_ray.ray_pipeline.text import MERSENNE31, MinHasher
+
+    mh = MinHasher()
+    rs = np.random.RandomState(123)
+    words = [f"tok{i}" for i in range(300)]
+    texts = [" ".join(rs.choice(words, rs.randint(1, 120))) for _ in range(200)]
+    texts += ["a", "a b", ""]  # shorter-than-k edge cases
+    got = mh.signatures(texts)
+
+    M = np.uint64(MERSENNE31)
+    sh_list = [mh.hasher.shingles(t) for t in texts]
+    lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    h31 = np.concatenate(sh_list) % M
+    want = np.minimum.reduceat(
+        (mh.a[:, None] * h31[None, :] + mh.b[:, None]) % M, offsets, axis=1
+    )
+    assert np.array_equal(got, want)
