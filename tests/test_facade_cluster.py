@@ -257,3 +257,60 @@ def test_cluster_cascade_grid_invariants(ray_session, fixtures):
     # cluster rows carry synthetic ids, singleton points keep their identity
     lv0 = got[got.zoom == options.min_zoom]
     assert ((lv0.point_count > 1) == (lv0.point_id == "")).all()
+
+
+def test_cluster_cascade_exact_fuzz_random_points(ray_session):
+    """Randomized per-zoom cascade equality vs the local ClusterIndex on
+    random point sets (beyond the places.json fixture)."""
+    import numpy as np
+    import ray.data
+
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.cluster.index import OFF_ID, OFF_NUM
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import cluster_cascade_exact
+
+    rs = np.random.RandomState(31)
+    for trial in range(2):
+        n = int(rs.choice([120, 260]))
+        # mix of uniform points and a dense blob (forces multi-level merges)
+        px = np.concatenate([rs.uniform(0, 1, n), 0.5 + 0.001 * rs.standard_normal(n // 4)])
+        py = np.concatenate([rs.uniform(0, 1, n), 0.5 + 0.001 * rs.standard_normal(n // 4)])
+        px, py = np.clip(px, 0, 1), np.clip(py, 0, 1)
+        rows = [
+            {"pid": str(i), "px": float(px[i]), "py": float(py[i])}
+            for i in range(len(px))
+        ]
+        options = ClusterOptions(max_zoom=int(rs.choice([4, 6])))
+        got = cluster_cascade_exact(
+            ray.data.from_items(rows).repartition(4), options
+        ).to_pandas()
+
+        feats = [
+            {
+                "id": r["pid"], "type": "Point",
+                "geometry": [r["px"], r["py"]], "tags": None,
+                "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+            }
+            for r in rows
+        ]
+        index = ClusterIndex(options)
+        index.initialize(feats)
+        for z in range(options.min_zoom, options.max_zoom + 2):
+            data = index.trees[z].flat_data
+            want = set()
+            for i in range(0, len(data), index.stride):
+                is_cluster = data[i + OFF_NUM] > 1
+                want.add(
+                    (
+                        int(data[i + OFF_ID]) if is_cluster else -1,
+                        int(data[i + OFF_NUM]),
+                        data[i],
+                        data[i + 1],
+                    )
+                )
+            lv = got[got.zoom == z]
+            have = set(
+                map(tuple, lv[["cluster_id", "point_count", "px", "py"]].itertuples(index=False))
+            )
+            assert have == want, (trial, z)

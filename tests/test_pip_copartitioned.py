@@ -91,3 +91,41 @@ def test_copartitioned_skew_guard_blocked_equals_unblocked(ray_session):
     blocked = pairs(50)  # forces ceil(600/50)=12 chunks on the hot tiles
     assert blocked == unblocked
     assert len(unblocked) > 0
+
+
+def test_copartitioned_fuzz_random_layers(ray_session):
+    """Randomized equality fuzz: co-partitioned (with a low tile_cap so the
+    skew guard is always active) vs broadcast PIP across random rectangle
+    layers, point sets, and zoom levels."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.datagen.rects import rect_geojson
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.images import image_dataset
+    from geojson_vt_ray.ray_pipeline.spatial import pip_join, pip_join_copartitioned
+    from geojson_vt_ray.ray_pipeline.tiler import build_tiles, dataset_from_geojson
+
+    rs = np.random.RandomState(17)
+    for trial in range(3):
+        z = int(rs.choice([2, 3, 5]))
+        keys = rs.choice(np.arange(1, 4000), size=30, replace=False)
+        gj = rect_geojson(np.sort(keys))
+        opts = TilerOptions(max_zoom=z, tolerance=0.0)
+        tiles_ds = build_tiles(dataset_from_geojson(gj), opts, mode="pyramid")
+        tile_rows = tiles_ds.take_all()
+        n_pts = int(rs.choice([400, 900]))
+
+        broadcast = {
+            (r["image_id"], r["poly_id"])
+            for r in pip_join(
+                image_dataset(n_pts, with_bytes=False), tile_rows, z, opts.extent
+            ).iter_rows()
+        }
+        copart = {
+            (r["image_id"], r["poly_id"])
+            for r in pip_join_copartitioned(
+                image_dataset(n_pts, with_bytes=False), tiles_ds, z, tile_cap=25
+            ).iter_rows()
+        }
+        assert copart == broadcast, (trial, z, n_pts)
