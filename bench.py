@@ -185,6 +185,56 @@ def run_benchmarks() -> dict:
         ).count(),
     )
 
+    # ---- incremental update vs full build (the reference's own headline
+    # bench shape, bench/benchmark.ts:53-139: updateData with a small diff
+    # must beat rebuilding). The update's floor is the shallow z0..z_handoff
+    # cascade (z0 contains every feature, so rebuilding its ancestors is
+    # inherently a full-source pass); the speedup is the skipped drill work
+    # and grows with pyramid depth/weight -------------------------------------------------
+    import shutil
+
+    from geojson_vt_ray.ray_pipeline.cascade import write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.incremental import incremental_update_pyramid
+
+    upd_dir = "/tmp/graft_bench_pyr_z13"
+    shutil.rmtree(upd_dir, ignore_errors=True)
+    opts13 = TilerOptions(max_zoom=13)
+    upd_src = dataset_from_geojson(replicated, options=opts13)
+    timed(
+        "us_states_build_z13",
+        lambda: write_pyramid_fast(
+            upd_src, opts13, upd_dir, z_handoff=6, drill_partitions=128, batch_size=32
+        ),
+    )
+    one_rect = {
+        "type": "Feature",
+        "id": "bench-upd-1",
+        "properties": {"name": "bench-upd"},
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [
+                [[-101.2, 39.1], [-100.9, 39.1], [-100.9, 39.4], [-101.2, 39.4], [-101.2, 39.1]]
+            ],
+        },
+    }
+    upd_stats = timed(
+        "us_states_update_1_z13",
+        lambda: incremental_update_pyramid(
+            upd_src,
+            {"add": [one_rect]},
+            opts13,
+            upd_dir,
+            z_handoff=6,
+            drill_partitions=128,
+            batch_size=32,
+        ),
+    )
+    extra["update_affected_subtrees"] = upd_stats["affected_subtrees"]
+    extra["update_speedup_vs_build"] = round(
+        timings["us_states_build_z13"] / timings["us_states_update_1_z13"], 2
+    )
+    shutil.rmtree(upd_dir, ignore_errors=True)
+
     # ---- sf-table pipelines -------------------------------------------------
     import ray.data
 
@@ -279,6 +329,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "pyramid_tiles": res["extra"]["pyramid_tiles"],
         "tiles_per_sec": res["extra"]["tiles_per_sec"],
+        "update_affected_subtrees": res["extra"].get("update_affected_subtrees"),
+        "update_speedup_vs_build": res["extra"].get("update_speedup_vs_build"),
         # shared-host noise witness: 1-min load average before/after the run
         "load_avg_before": round(load_before[0], 1),
         "load_avg_after": round(os.getloadavg()[0], 1),
