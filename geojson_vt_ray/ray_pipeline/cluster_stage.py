@@ -392,9 +392,6 @@ def cluster_cascade_grid(
             )
 
         zc, rc, min_pts = z, r, options.min_points
-        # synthetic cluster ids are unique per (zoom, cell, chunk); the zoom
-        # column disambiguates across levels
-        cid_base = (options.max_zoom + 1 - z) << 52
 
         def cluster_cell(g: pa.Table) -> pa.Table:
             xs = g.column("px").to_numpy()
@@ -407,10 +404,19 @@ def cluster_cascade_grid(
             n = len(xs)
             visited = np.zeros(n, dtype=bool)
             out = {k: [] for k in _CASCADE_SCHEMA}
-            # deterministic synthetic cluster id: cell-derived (collision-free
-            # per level because the cell key is unique per group)
+            # deterministic synthetic cluster id: splitmix64-style mix of
+            # (zoom, cell, chunk, ordinal), folded into non-negative int63.
+            # Structured bit-packing would collide deterministically once a
+            # field overflows its slot (fine cells, >16 chunks); the mix is
+            # collision-resistant (~n²/2^63) for any realistic cluster count
+            # and these labels are only identity tags in the grid
+            # (non-bit-exact) path.
             cell_key = int(g.column("cell")[0].as_py())
             chunk_key = int(g.column("pchunk")[0].as_py())
+            m64 = (1 << 64) - 1
+            seed = zc & 0xFFFF
+            for part in (cell_key, chunk_key):
+                seed = ((seed ^ (part & m64)) * 0x9E3779B97F4A7C15) & m64
             local = 0
             for i in range(n):
                 if visited[i]:
@@ -424,9 +430,9 @@ def cluster_cascade_grid(
                     wx = (xs[i] * cnt[i] + (xs[members] * cnt[members]).sum()) / total
                     wy = (ys[i] * cnt[i] + (ys[members] * cnt[members]).sum()) / total
                     out["zoom"].append(zc)
-                    out["cluster_id"].append(
-                        cid_base + (abs(cell_key) % (1 << 40)) * 1024 + chunk_key * 64 + local
-                    )
+                    h = ((seed ^ local) * 0xBF58476D1CE4E5B9) & m64
+                    h ^= h >> 31
+                    out["cluster_id"].append(h >> 1)
                     out["point_id"].append("")
                     out["point_count"].append(total)
                     out["px"].append(wx)

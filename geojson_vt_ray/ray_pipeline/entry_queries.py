@@ -866,9 +866,9 @@ def q_doc_stratified_sample(sf_dir: str):
 
 
 # Registry order matters: the driver runs queries in dict order and caps the
-# CORRECTNESS run at 50 rows (r2 ran exactly the first 50 of 56).  All 44
+# CORRECTNESS run at 50 rows (r2 ran exactly the first 50 of 56).  All 45
 # SQL-oracled queries come first so every oracle-checkable pipeline gets a
-# driver row; the 12 no-oracle (pytest-oracled) queries follow, most
+# driver row; the 11 no-oracle (pytest-oracled) queries follow, most
 # important first, so under a 50-row cap only the least critical of the
 # pytest-covered entries are skipped.
 QUERIES: dict[str, Callable[[str], Any]] = {

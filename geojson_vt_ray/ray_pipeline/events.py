@@ -187,8 +187,11 @@ def sessionize(
         grp = np.cumsum(new) - 1
         m = int(grp[-1]) + 1 if len(grp) else 0
         starts = s[new]
-        ends = np.zeros(m, dtype=np.int64)
-        np.maximum.at(ends, grp, e)
+        # within a merged run, ends strictly increase (salt buckets partition
+        # time), so each run's end is its last member — no accumulator init
+        # to bias (np.maximum.at over zeros clamps pre-epoch timestamps)
+        run_start_idx = np.nonzero(new)[0]
+        ends = e[np.append(run_start_idx[1:], len(e)) - 1]
         counts = np.zeros(m, dtype=np.int64)
         np.add.at(counts, grp, n_ev)
         uid = int(g.column("user_id")[0].as_py())

@@ -58,13 +58,16 @@ class ImageDecoder:
         if n:
             # zero-copy views into the Arrow binary buffer: no to_pylist()
             # bytes copies; zlib inflates straight from memoryview slices
-            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+            offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
                 col.offset : col.offset + n + 1
             ]
             data = memoryview(col.buffers()[2])
             nd = np.frombuffer(data, dtype=np.uint8)
+            if (offs[1:] - offs[:-1] < 10).any():
+                raise ValueError("bad image magic")  # truncated blob
             # vectorized header parse: magic check + (w, h, c) for all blobs
-            hdr = nd[offs[:-1, None] + np.arange(10)]
+            hdr = nd[offs[:-1, None].astype(np.int64) + np.arange(10)]
             raw_m = np.frombuffer(MAGIC_RAW, dtype=np.uint8)
             q_m = np.frombuffer(MAGIC_QLOSSY, dtype=np.uint8)
             is_raw = (hdr[:, :4] == raw_m).all(axis=1)

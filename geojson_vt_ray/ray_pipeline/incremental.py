@@ -51,8 +51,25 @@ def affected_tile_keys(affected: list[dict], max_zoom: int, options: TilerOption
 
 def fid_key_of(fid) -> str:
     """Canonical string encoding of a diff feature id (JSON literal, so
-    int 1 and string "1" stay distinct and None encodes as 'null')."""
+    int 1 and string "1" stay distinct and None encodes as 'null').
+
+    Integral floats canonicalize to ints (JSON ``"id": 1.0`` and a diff
+    ``remove: [1]`` are the same number in the reference's JS `===` world,
+    and Python set membership treated them equal before keys existed)."""
+    if isinstance(fid, float) and fid.is_integer():
+        fid = int(fid)
     return json.dumps(fid, sort_keys=True, separators=(",", ":"))
+
+
+def fid_key_column(options: Optional[TilerOptions]) -> str:
+    """Name of the materialized id-key column for the given options. The
+    extraction rule is part of the name (``fid_key`` for the native id,
+    ``fid_key__promote_<prop>`` when promoting), so a dataset ingested
+    under different options can never silently satisfy a diff's anti-join
+    with stale keys — the shim recomputes instead."""
+    if options is not None and options.promote_id:
+        return f"fid_key__promote_{options.promote_id}"
+    return "fid_key"
 
 
 def fid_key_of_feature(f: dict, options: Optional[TilerOptions]) -> str:
@@ -68,11 +85,14 @@ def fid_key_of_feature(f: dict, options: Optional[TilerOptions]) -> str:
 
 
 def with_fid_key(source_rows: "ray.data.Dataset", options: TilerOptions) -> "ray.data.Dataset":
-    """Compat shim: materialize the ``fid_key`` column for source datasets
-    ingested before it existed. One JSON parse pass over the dataset —
-    new ingests (``dataset_from_geojson``) carry the column from the start
-    so diffs never re-parse the corpus."""
-    if "fid_key" in source_rows.schema().names:
+    """Compat shim: materialize the options-matched id-key column for
+    source datasets that don't carry it (or carry one built under OTHER
+    options — the column name encodes the extraction rule, see
+    `fid_key_column`). One JSON parse pass; new ingests
+    (``dataset_from_geojson(..., options=...)``) carry the right column
+    from the start so diffs never re-parse the corpus."""
+    col = fid_key_column(options)
+    if col in source_rows.schema().names:
         return source_rows
 
     def add_key(batch: pa.Table) -> pa.Table:
@@ -80,7 +100,7 @@ def with_fid_key(source_rows: "ray.data.Dataset", options: TilerOptions) -> "ray
             fid_key_of_feature(json.loads(fj), options)
             for fj in batch.column("feature_json").to_pylist()
         ]
-        return batch.append_column("fid_key", pa.array(keys, pa.string()))
+        return batch.append_column(col, pa.array(keys, pa.string()))
 
     return source_rows.map_batches(add_key, batch_format="pyarrow")
 
@@ -103,6 +123,7 @@ def apply_diff_dataset(
     import pyarrow.compute as pc
 
     source_rows = with_fid_key(source_rows, options)
+    key_col = fid_key_column(options)
     hashed = diff_to_hashed(diff, options)
     drop_ids = hashed["remove"] | set(hashed["add"].keys()) | set(hashed["update"].keys())
     drop_keys = pa.array(sorted(fid_key_of(v) for v in drop_ids), pa.string())
@@ -113,7 +134,7 @@ def apply_diff_dataset(
     def patch(batch: pa.Table) -> pa.Table:
         if remove_all:
             return batch.slice(0, 0)
-        hit = pc.is_in(batch.column("fid_key"), value_set=drop_keys)
+        hit = pc.is_in(batch.column(key_col), value_set=drop_keys)
         return batch.filter(pc.invert(hit))
 
     patched = source_rows.map_batches(patch, batch_format="pyarrow")
@@ -122,7 +143,7 @@ def apply_diff_dataset(
     def affected_scan(batch: pa.Table) -> pa.Table:
         if remove_all:
             return batch.select(["feature_json"])
-        hit = pc.is_in(batch.column("fid_key"), value_set=drop_keys)
+        hit = pc.is_in(batch.column(key_col), value_set=drop_keys)
         return batch.filter(hit).select(["feature_json"])
 
     for row in source_rows.map_batches(affected_scan, batch_format="pyarrow").iter_rows():
@@ -136,7 +157,7 @@ def apply_diff_dataset(
             {
                 "feature_json": json.dumps(f),
                 "input_seq": next_seq,
-                "fid_key": fid_key_of_feature(f, options),
+                key_col: fid_key_of_feature(f, options),
             }
         )
         next_seq += 1
@@ -153,7 +174,7 @@ def apply_diff_dataset(
                 {
                     "feature_json": json.dumps(nf),
                     "input_seq": next_seq,
-                    "fid_key": fid_key_of(u["id"]),
+                    key_col: fid_key_of(u["id"]),
                 }
             )
             next_seq += 1

@@ -365,8 +365,9 @@ def dataset_from_geojson(
     ``id``) once at ingest so incremental diffs anti-join with a vectorized
     ``pc.is_in`` instead of re-parsing every feature's JSON per update
     (reference extracts the same id in `src/convert.ts:117` region)."""
-    from .incremental import fid_key_of_feature
+    from .incremental import fid_key_column, fid_key_of_feature
 
+    key_col = fid_key_column(options)
     if data.get("type") == "FeatureCollection":
         feats = data["features"]
     elif data.get("type") == "Feature":
@@ -377,7 +378,7 @@ def dataset_from_geojson(
         {
             "feature_json": json.dumps(f),
             "input_seq": i,
-            "fid_key": fid_key_of_feature(f, options),
+            key_col: fid_key_of_feature(f, options),
         }
         for i, f in enumerate(feats)
     ]
@@ -385,7 +386,7 @@ def dataset_from_geojson(
         return ray.data.from_arrow(
             pa.table({"feature_json": pa.array([], pa.string()),
                       "input_seq": pa.array([], pa.int64()),
-                      "fid_key": pa.array([], pa.string())})
+                      key_col: pa.array([], pa.string())})
         )
     return ray.data.from_items(rows, override_num_blocks=max(1, min(len(rows), 64)))
 

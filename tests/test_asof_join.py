@@ -101,3 +101,44 @@ def test_sessionize_hot_user_salting_equals_unsalted(ray_session):
     salted = run(100)  # user 7 (602 events) goes over the cap
     assert salted == unsalted
     assert len(unsalted) > 3
+
+
+def test_sessionize_salted_pre_epoch_timestamps(ray_session):
+    """Negative (pre-1970) timestamps through the hot-user stitch: merged
+    session ends must be the true (negative) values, not clamped to 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.events import sessionize
+
+    day = 86_400_000_000
+    gap = 1_800_000_000
+    ts = []
+    t = -day * 30
+    for _ in range(120):
+        t += int(gap // 3)
+        ts.append((5, t))
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in ts], pa.int64()),
+            "ts": pa.array([t for _, t in ts], pa.int64()),
+        }
+    )
+
+    def run(cap):
+        ds = ray.data.from_arrow(tbl)
+        df = sessionize(ds, gap_us=gap, user_cap=cap).to_pandas()
+        return sorted(
+            map(
+                tuple,
+                df[["user_id", "session_start_us", "session_end_us", "n_events"]].itertuples(
+                    index=False
+                ),
+            )
+        )
+
+    unsalted = run(10**9)
+    salted = run(50)
+    assert salted == unsalted
+    assert all(end < 0 for _, _, end, _ in unsalted)

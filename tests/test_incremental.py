@@ -228,3 +228,38 @@ def test_compact_pyramid_updates(ray_session, tmp_path):
 
     # idempotent no-op on a second call
     assert compact_pyramid_updates(out)["updates"] == 0
+
+
+def test_apply_diff_recomputes_keys_under_different_promote_id(ray_session):
+    """A dataset ingested without options (native-id keys) must not satisfy a
+    promote_id diff with stale keys — the shim recomputes under the diff's
+    options (the id-key column name encodes the extraction rule)."""
+    from geojson_vt_ray.ray_pipeline.incremental import apply_diff_dataset
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    feats = [_point(1, 0, 0), _point(2, 10, 10)]
+    gj = {"type": "FeatureCollection", "features": feats}
+    src = dataset_from_geojson(gj)  # ingested with options=None
+
+    options = TilerOptions(max_zoom=4, promote_id="name")
+    patched, affected = apply_diff_dataset(src, {"remove": ["p2"]}, options)
+    names = sorted(
+        json.loads(r["feature_json"])["properties"]["name"]
+        for r in patched.iter_rows()
+    )
+    assert names == ["p1"]
+    assert [f["id"] for f in affected] == ["p2"]
+
+
+def test_apply_diff_integral_float_id_matches_int(ray_session):
+    """JSON 'id': 1.0 and diff remove [1] are the same number (reference JS
+    semantics; pre-key Python equality too)."""
+    from geojson_vt_ray.ray_pipeline.incremental import apply_diff_dataset
+
+    f = _point(1, 0, 0)
+    f["id"] = 1.0
+    src = _rows([f, _point(2, 10, 10)])
+    patched, affected = apply_diff_dataset(src, {"remove": [1]}, TilerOptions(max_zoom=4))
+    ids = [json.loads(r["feature_json"]).get("id") for r in patched.iter_rows()]
+    assert ids == [2]
+    assert len(affected) == 1
