@@ -71,13 +71,21 @@ def sessionize(
 
     Skew guard (hot users): a user with more than ``user_cap`` events salts
     into (user, time-bucket) groups of width ``salt_window_us`` (default
-    1 day); bucket-level sessions are computed per salted group, then ONE
-    tiny per-user stitch pass merges boundary sessions whose gap across the
-    bucket edge is ≤ gap_us. The stitch group holds SESSIONS, whose count
-    is bounded by the user's active time range / gap — not by event count —
-    so no task ever sees more than ~cap raw events. Result is identical to
-    the unsalted path (gap-merge is associative over a time partition;
-    pinned by the salted==unsalted equality test).
+    1 day); a user still over-cap INSIDE one bucket gets a finer window
+    (floored at ``gap_us`` — events bursting within one gap-width window
+    are a single session and must meet one task under exact gap semantics,
+    so that residue is irreducible). Bucket-level sessions are computed per
+    salted group, then ONE tiny per-user stitch pass merges boundary
+    sessions whose gap across a bucket edge is ≤ gap_us; the stitch group
+    holds SESSIONS, bounded by active-time/gap. Result is identical to the
+    unsalted path (gap-merge is associative over any time partition;
+    pinned by the salted==unsalted equality tests).
+
+    Cost note: the hot-user scans re-read the two pruned integer columns
+    (one pass, plus a second pass over hot users' rows only when any
+    exist) — the same re-scan-don't-pin tradeoff as every other monster
+    scan in this repo; pinning the projected table at 10^12 rows costs far
+    more than re-reading two int64 columns.
     """
 
     def project(batch: pa.Table) -> pa.Table:
@@ -98,16 +106,49 @@ def sessionize(
         .filter(lambda r: r["count()"] > user_cap)
         .to_pandas()
     )
-    hot_users = frozenset(int(u) for u in hot_tbl["user_id"]) if len(hot_tbl) else frozenset()
-    hot_ref = _ray.put(hot_users)
+    # per-user salt window: day buckets by default; users over-cap inside a
+    # single day bucket drop to a finer window (never below the gap)
+    hot_win: dict[int, int] = (
+        {int(u): int(salt_window_us) for u in hot_tbl["user_id"]} if len(hot_tbl) else {}
+    )
+    if hot_win:
+        fine = max(int(gap_us), int(salt_window_us) // 64)
+        if fine < salt_window_us:
+            coarse_ref = _ray.put(frozenset(hot_win))
+
+            def tag_hot(batch: pa.Table) -> pa.Table:
+                hw = _ray.get(coarse_ref)
+                uid = batch.column("user_id").to_numpy()
+                us = batch.column("us").to_numpy()
+                m = np.isin(uid, np.fromiter(hw, dtype=np.int64, count=len(hw)))
+                return pa.table(
+                    {
+                        "user_id": pa.array(uid[m]),
+                        "salt": pa.array(us[m] // salt_window_us),
+                    }
+                )
+
+            over_tbl = (
+                projected.map_batches(tag_hot, batch_format="pyarrow")
+                .groupby(["user_id", "salt"])
+                .count()
+                .filter(lambda r: r["count()"] > user_cap)
+                .to_pandas()
+            )
+            for u in set(int(v) for v in over_tbl["user_id"]) if len(over_tbl) else set():
+                hot_win[u] = fine
+    hot_ref = _ray.put(hot_win)
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        hot = _ray.get(hot_ref)
+        hw = _ray.get(hot_ref)
         uid = batch.column("user_id").to_numpy()
         us = batch.column("us").to_numpy()
-        if hot:
-            is_hot = np.isin(uid, np.fromiter(hot, dtype=np.int64, count=len(hot)))
-            salt = np.where(is_hot, us // salt_window_us, 0)
+        if hw:
+            win = np.zeros(len(uid), dtype=np.int64)
+            for u, w in hw.items():  # hot dict is tiny by construction
+                win[uid == u] = w
+            is_hot = win > 0
+            salt = np.where(is_hot, us // np.maximum(win, 1), 0)
         else:
             is_hot = np.zeros(len(uid), dtype=bool)
             salt = np.zeros(len(uid), dtype=np.int64)
@@ -156,7 +197,7 @@ def sessionize(
     def _sessions_table(cols: dict) -> pa.Table:
         return pa.table({k: pa.array(cols[k], t) for k, t in _SESSION_SCHEMA.items()})
 
-    if not hot_users:
+    if not hot_win:
         return grouped.map_batches(
             lambda b: b.drop_columns(["hot"]), batch_format="pyarrow"
         )

@@ -72,6 +72,18 @@ def fid_key_column(options: Optional[TilerOptions]) -> str:
     return "fid_key"
 
 
+def _fid_key_for_column(f: dict, col: str) -> str:
+    """The value a given id-key COLUMN holds for a raw feature — native
+    ``id`` for ``fid_key``, ``properties[<prop>]`` for
+    ``fid_key__promote_<prop>`` — so upsert rows can fill every key column
+    their destination schema carries, consistently with what the shim
+    would recompute from the JSON."""
+    if col == "fid_key":
+        return fid_key_of(f.get("id"))
+    prop = col[len("fid_key__promote_"):]
+    return fid_key_of((f.get("properties") or {}).get(prop))
+
+
 def fid_key_of_feature(f: dict, options: Optional[TilerOptions]) -> str:
     """The diff id of a raw GeoJSON feature under the given options
     (``properties[promote_id]`` when promoting, else native ``id``) in
@@ -150,16 +162,29 @@ def apply_diff_dataset(
         f = json.loads(row["feature_json"])
         affected.extend(wrap(convert_to_internal(f, options), options))
 
+    # upsert rows must carry EVERY column of the (post-shim) source schema —
+    # including id-key columns materialized under other options — or the
+    # union emits schema-divergent blocks and a later diff double-appends
+    all_cols = source_rows.schema().names
+    key_cols = [c for c in all_cols if c.startswith("fid_key")]
+
+    def _new_row(f: dict, seq: int) -> dict:
+        row: dict = {}
+        for c in all_cols:
+            if c == "feature_json":
+                row[c] = json.dumps(f)
+            elif c == "input_seq":
+                row[c] = seq
+            elif c in key_cols:
+                row[c] = _fid_key_for_column(f, c)
+            else:
+                row[c] = None  # unknown user column: explicit null
+        return row
+
     new_rows = []
     next_seq = 1 << 40  # appended rows order after all existing rows
     for f in hashed["add"].values():
-        new_rows.append(
-            {
-                "feature_json": json.dumps(f),
-                "input_seq": next_seq,
-                key_col: fid_key_of_feature(f, options),
-            }
-        )
+        new_rows.append(_new_row(f, next_seq))
         next_seq += 1
         affected.extend(wrap(convert_to_internal(f, options), options))
     for u in hashed["update"].values():
@@ -170,13 +195,7 @@ def apply_diff_dataset(
                 "geometry": u["newGeometry"],
                 "properties": {},
             }
-            new_rows.append(
-                {
-                    "feature_json": json.dumps(nf),
-                    "input_seq": next_seq,
-                    key_col: fid_key_of(u["id"]),
-                }
-            )
+            new_rows.append(_new_row(nf, next_seq))
             next_seq += 1
             affected.extend(wrap(convert_to_internal(nf, options), options))
 

@@ -142,3 +142,45 @@ def test_sessionize_salted_pre_epoch_timestamps(ray_session):
     salted = run(50)
     assert salted == unsalted
     assert all(end < 0 for _, _, end, _ in unsalted)
+
+
+def test_sessionize_intra_window_hot_user(ray_session):
+    """A hot user concentrated inside ONE day bucket gets the finer salt
+    window (second-level scan); results still equal the unsalted path."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.events import sessionize
+
+    day = 86_400_000_000
+    gap = 1_800_000_000
+    rs = np.random.RandomState(3)
+    ts = []
+    t = day * 20 + 1_000_000  # everything inside day 20
+    for _ in range(400):
+        t += int(rs.choice([30_000_000, 120_000_000, gap + 60_000_000]))
+        if t >= day * 21 - gap:
+            t = day * 20 + 40_000_000_000  # stay inside the day
+        ts.append((3, t))
+    ts += [(8, day * 20 + k * gap * 3) for k in range(4)]  # cold user
+    tbl = pa.table(
+        {
+            "user_id": pa.array([u for u, _ in ts], pa.int64()),
+            "ts": pa.array([t for _, t in ts], pa.int64()),
+        }
+    )
+
+    def run(cap):
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        df = sessionize(ds, gap_us=gap, user_cap=cap).to_pandas()
+        return sorted(
+            map(
+                tuple,
+                df[["user_id", "session_start_us", "session_end_us", "n_events"]].itertuples(
+                    index=False
+                ),
+            )
+        )
+
+    assert run(50) == run(10**9)

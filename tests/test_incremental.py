@@ -263,3 +263,26 @@ def test_apply_diff_integral_float_id_matches_int(ray_session):
     ids = [json.loads(r["feature_json"]).get("id") for r in patched.iter_rows()]
     assert ids == [2]
     assert len(affected) == 1
+
+
+def test_apply_diff_upsert_keeps_schema_and_chains(ray_session):
+    """Upsert rows must carry every id-key column of the source schema, so a
+    second diff under DIFFERENT options still works on the unioned dataset
+    (regression: schema-divergent union crashed the follow-up anti-join)."""
+    from geojson_vt_ray.ray_pipeline.incremental import apply_diff_dataset
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    gj = {"type": "FeatureCollection", "features": [_point(1, 0, 0), _point(2, 10, 10)]}
+    src = dataset_from_geojson(gj)  # carries native fid_key
+
+    promoted = TilerOptions(max_zoom=4, promote_id="name")
+    added = _point(9, -10, -10)
+    patched, _ = apply_diff_dataset(src, {"add": [added]}, promoted)
+    cols = set(patched.schema().names)
+    assert {"feature_json", "input_seq", "fid_key", "fid_key__promote_name"} <= cols
+
+    # chain a second diff under NATIVE options on the unioned dataset
+    patched2, affected2 = apply_diff_dataset(patched, {"remove": [9]}, TilerOptions(max_zoom=4))
+    ids = sorted(json.loads(r["feature_json"]).get("id") for r in patched2.iter_rows())
+    assert ids == [1, 2]
+    assert [f["id"] for f in affected2] == [9]
