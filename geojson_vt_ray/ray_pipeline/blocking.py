@@ -129,3 +129,18 @@ def replicate_all(nc: np.ndarray):
     starts = np.concatenate([[0], np.cumsum(nc)[:-1]])
     chunk = np.arange(total, dtype=np.int64) - np.repeat(starts, nc)
     return idx, chunk
+
+
+def scan_monsters(keyed_ds, key_cols: list[str], cap: int) -> dict:
+    """The shared monster scan: group the (small, key-only) dataset by
+    ``key_cols``, keep groups above ``cap``, and return the
+    `monster_chunks` dict. One groupby-count shuffle; the caller decides
+    whether the keyed dataset re-executes its tag stage (the usual
+    re-scan-don't-pin tradeoff) or is already materialized."""
+    counts = (
+        keyed_ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols)
+        .count()
+        .filter(lambda r: r["count()"] > cap)
+        .to_pandas()
+    )
+    return monster_chunks(counts, key_cols, cap)

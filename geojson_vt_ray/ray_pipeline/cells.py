@@ -302,15 +302,9 @@ def _blocked_cell_join(
     cheap 2-column read + integer math); the tagged table is NOT pinned
     because at 10^12 rows it is the big side of the join.
     """
-    from .blocking import assign_chunks, chunk_counts_for, monster_chunks, replicate_all
+    from .blocking import assign_chunks, chunk_counts_for, replicate_all, scan_monsters
 
-    monster_tbl = (
-        pts_tagged.groupby("cell")
-        .count()
-        .filter(lambda r: r["count()"] > cell_cap)
-        .to_pandas()
-    )
-    monsters = monster_chunks(monster_tbl, ["cell"], cell_cap)
+    monsters = scan_monsters(pts_tagged, ["cell"], cell_cap)
     monsters_ref = ray.put(monsters)
 
     def _with_pchunk(batch: pa.Table, chunk: np.ndarray) -> pa.Table:

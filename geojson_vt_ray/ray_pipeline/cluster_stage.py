@@ -91,6 +91,37 @@ def cluster_tiles_exact(
     )
 
 
+def _greedy_cluster(xs, ys, weights, r: float, min_points: int):
+    """The per-cell greedy radius clustering shared by the single-zoom grid
+    variant (unit weights) and the weighted cascade levels: returns
+    (px, py, count, seed_index) per output cluster/point, iterating seeds
+    in row order like the reference greedy."""
+    n = len(xs)
+    visited = np.zeros(n, dtype=bool)
+    px: list[float] = []
+    py: list[float] = []
+    counts: list[int] = []
+    seeds: list[int] = []
+    for i in range(n):
+        if visited[i]:
+            continue
+        visited[i] = True
+        d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
+        members = np.nonzero((~visited) & (d2 <= r * r))[0]
+        total = int(weights[i] + weights[members].sum())
+        if total >= min_points and len(members) > 0:
+            visited[members] = True
+            px.append((xs[i] * weights[i] + (xs[members] * weights[members]).sum()) / total)
+            py.append((ys[i] * weights[i] + (ys[members] * weights[members]).sum()) / total)
+            counts.append(total)
+        else:
+            px.append(float(xs[i]))
+            py.append(float(ys[i]))
+            counts.append(int(weights[i]))
+        seeds.append(i)
+    return px, py, counts, seeds
+
+
 def grid_cluster_tiles(
     points: "ray.data.Dataset",
     options: Optional[ClusterOptions] = None,
@@ -116,33 +147,28 @@ def grid_cluster_tiles(
 
     import ray as _ray
 
-    from .blocking import assign_chunks, chunk_counts_for, monster_chunks
+    from .blocking import assign_chunks, chunk_counts_for, scan_monsters
 
-    def _cells_of(batch: pa.Table) -> np.ndarray:
+    def _mx_my_cells(batch: pa.Table):
         from ..datagen.images import mercator_xy
 
         mx, my = mercator_xy(batch.column("phash").to_numpy())
         cx = np.floor(mx / cell).astype(np.int64)
         cy = np.floor(my / cell).astype(np.int64)
-        return cx * 1_000_003 + cy
+        return mx, my, cx * 1_000_003 + cy
 
-    monster_tbl = (
+    monsters = scan_monsters(
         points.map_batches(
-            lambda b: pa.table({"cell": pa.array(_cells_of(b))}), batch_format="pyarrow"
-        )
-        .groupby("cell")
-        .count()
-        .filter(lambda row: row["count()"] > cell_cap)
-        .to_pandas()
+            lambda b: pa.table({"cell": pa.array(_mx_my_cells(b)[2])}),
+            batch_format="pyarrow",
+        ),
+        ["cell"],
+        cell_cap,
     )
-    monsters = monster_chunks(monster_tbl, ["cell"], cell_cap)
     monsters_ref = _ray.put(monsters)
 
     def assign(batch: pa.Table) -> pa.Table:
-        from ..datagen.images import mercator_xy
-
-        mx, my = mercator_xy(batch.column("phash").to_numpy())
-        key = _cells_of(batch)
+        mx, my, key = _mx_my_cells(batch)
         mons = _ray.get(monsters_ref)
         if mons:
             pchunk = assign_chunks(chunk_counts_for(key, mons), key).astype(np.int32)
@@ -161,27 +187,9 @@ def grid_cluster_tiles(
     def cluster_cell(g: pa.Table) -> pa.Table:
         xs = g.column("mx").to_numpy()
         ys = g.column("my").to_numpy()
-        n = len(xs)
-        visited = np.zeros(n, dtype=bool)
-        px: list[float] = []
-        py: list[float] = []
-        counts: list[int] = []
-        for i in range(n):
-            if visited[i]:
-                continue
-            visited[i] = True
-            d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
-            members = np.nonzero((~visited) & (d2 <= r * r))[0]
-            count = 1 + len(members)
-            if count >= options.min_points and len(members) > 0:
-                visited[members] = True
-                px.append((xs[i] + xs[members].sum()) / count)
-                py.append((ys[i] + ys[members].sum()) / count)
-                counts.append(count)
-            else:
-                px.append(xs[i])
-                py.append(ys[i])
-                counts.append(1)
+        px, py, counts, _ = _greedy_cluster(
+            xs, ys, np.ones(len(xs), dtype=np.int64), r, options.min_points
+        )
         return pa.table(
             {
                 "px": pa.array(np.asarray(px, dtype=np.float64)),
@@ -334,7 +342,7 @@ def cluster_cascade_grid(
     """
     import ray as _ray
 
-    from .blocking import assign_chunks, chunk_counts_for, monster_chunks
+    from .blocking import assign_chunks, chunk_counts_for, scan_monsters
 
     options = options or ClusterOptions()
 
@@ -367,17 +375,14 @@ def cluster_cascade_grid(
             cy = np.floor(batch.column("py").to_numpy() / cell).astype(np.int64)
             return cx * 1_000_003 + cy
 
-        monster_tbl = (
+        monsters = scan_monsters(
             level.map_batches(
                 lambda b: pa.table({"cell": pa.array(cells_of(b))}),
                 batch_format="pyarrow",
-            )
-            .groupby("cell")
-            .count()
-            .filter(lambda row: row["count()"] > cell_cap)
-            .to_pandas()
+            ),
+            ["cell"],
+            cell_cap,
         )
-        monsters = monster_chunks(monster_tbl, ["cell"], cell_cap)
         monsters_ref = _ray.put(monsters)
 
         def assign(batch: pa.Table) -> pa.Table:
@@ -401,8 +406,6 @@ def cluster_cascade_grid(
             cnt = g.column("point_count").to_numpy()
             pids = g.column("point_id")
             cids = g.column("cluster_id").to_numpy()
-            n = len(xs)
-            visited = np.zeros(n, dtype=bool)
             out = {k: [] for k in _CASCADE_SCHEMA}
             # deterministic synthetic cluster id: splitmix64-style mix of
             # (zoom, cell, chunk, ordinal), folded into non-negative int63.
@@ -417,31 +420,22 @@ def cluster_cascade_grid(
             seed = zc & 0xFFFF
             for part in (cell_key, chunk_key):
                 seed = ((seed ^ (part & m64)) * 0x9E3779B97F4A7C15) & m64
+            cpx, cpy, totals, seeds = _greedy_cluster(xs, ys, cnt, rc, min_pts)
             local = 0
-            for i in range(n):
-                if visited[i]:
-                    continue
-                visited[i] = True
-                d2 = (xs - xs[i]) ** 2 + (ys - ys[i]) ** 2
-                members = np.nonzero((~visited) & (d2 <= rc * rc))[0]
-                total = int(cnt[i] + cnt[members].sum())
-                if total >= min_pts and len(members) > 0:
-                    visited[members] = True
-                    wx = (xs[i] * cnt[i] + (xs[members] * cnt[members]).sum()) / total
-                    wy = (ys[i] * cnt[i] + (ys[members] * cnt[members]).sum()) / total
-                    out["zoom"].append(zc)
+            for j, i in enumerate(seeds):
+                out["zoom"].append(zc)
+                if totals[j] > cnt[i]:  # merged a cluster (weights >= 1)
                     h = ((seed ^ local) * 0xBF58476D1CE4E5B9) & m64
                     h ^= h >> 31
                     out["cluster_id"].append(h >> 1)
                     out["point_id"].append("")
-                    out["point_count"].append(total)
-                    out["px"].append(wx)
-                    out["py"].append(wy)
-                    out["opx"].append(wx)
-                    out["opy"].append(wy)
+                    out["point_count"].append(totals[j])
+                    out["px"].append(cpx[j])
+                    out["py"].append(cpy[j])
+                    out["opx"].append(cpx[j])
+                    out["opy"].append(cpy[j])
                     local += 1
                 else:
-                    out["zoom"].append(zc)
                     out["cluster_id"].append(int(cids[i]))
                     out["point_id"].append(pids[i].as_py())
                     out["point_count"].append(int(cnt[i]))

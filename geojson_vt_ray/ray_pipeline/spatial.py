@@ -409,7 +409,7 @@ def pip_join_copartitioned(
     """
     import pyarrow.compute as pc
 
-    from .blocking import assign_chunks, chunk_counts_for, monster_chunks, replicate_all
+    from .blocking import assign_chunks, chunk_counts_for, replicate_all, scan_monsters
 
     extent_default = 4096
 
@@ -419,14 +419,9 @@ def pip_join_copartitioned(
         tkey = (ty.astype(np.int64) << 32) | tx.astype(np.int64)
         return pa.table({"tkey": pa.array(tkey)})
 
-    monster_tbl = (
-        points.map_batches(_point_tkeys, batch_format="pyarrow")
-        .groupby("tkey")
-        .count()
-        .filter(lambda r: r["count()"] > tile_cap)
-        .to_pandas()
+    monsters = scan_monsters(
+        points.map_batches(_point_tkeys, batch_format="pyarrow"), ["tkey"], tile_cap
     )
-    monsters = monster_chunks(monster_tbl, ["tkey"], tile_cap)
     monsters_ref = ray.put(monsters)
 
     def tag_points(batch: pa.Table) -> pa.Table:

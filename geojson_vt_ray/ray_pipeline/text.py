@@ -357,15 +357,9 @@ def minhash_candidate_pairs(
 
     import ray as _ray
 
-    monster_tbl = (
-        band_rows.groupby(["band", "band_hash"])
-        .count()
-        .filter(lambda r: r["count()"] > bucket_cap)
-        .to_pandas()
-    )
-    from .blocking import monster_chunks
+    from .blocking import scan_monsters
 
-    monsters = monster_chunks(monster_tbl, ["band", "band_hash"], bucket_cap)
+    monsters = scan_monsters(band_rows, ["band", "band_hash"], bucket_cap)
     monsters_ref = _ray.put(monsters)
 
     def block_stage(batch: pa.Table) -> pa.Table:
@@ -614,7 +608,7 @@ def ngram_jaccard_pairs(
     """
     import ray as _ray
 
-    from .blocking import assign_chunks, chunk_counts_for, monster_chunks, replicate_blocks
+    from .blocking import assign_chunks, chunk_counts_for, replicate_blocks, scan_monsters
 
     class ShingleStage:
         def __init__(self) -> None:
@@ -638,13 +632,7 @@ def ngram_jaccard_pairs(
 
     postings = docs.map_batches(ShingleStage, batch_format="pyarrow", concurrency=(1, 32))
 
-    monster_tbl = (
-        postings.groupby("shingle")
-        .count()
-        .filter(lambda r: r["count()"] > posting_cap)
-        .to_pandas()
-    )
-    monsters = monster_chunks(monster_tbl, ["shingle"], posting_cap)
+    monsters = scan_monsters(postings, ["shingle"], posting_cap)
     monsters_ref = _ray.put(monsters)
 
     def block_stage(batch: pa.Table) -> pa.Table:
@@ -950,15 +938,9 @@ def simhash_near_dup_pairs(
     # total_band_rows / cap entries) and broadcast their chunk counts
     import ray as _ray
 
-    monster_tbl = (
-        tagged.groupby(["band", "bval"])
-        .count()
-        .filter(lambda r: r["count()"] > bucket_cap)
-        .to_pandas()
-    )
-    from .blocking import monster_chunks
+    from .blocking import scan_monsters
 
-    monsters = monster_chunks(monster_tbl, ["band", "bval"], bucket_cap)
+    monsters = scan_monsters(tagged, ["band", "bval"], bucket_cap)
     monsters_ref = _ray.put(monsters)
 
     def block_stage(batch: pa.Table) -> pa.Table:
