@@ -180,8 +180,11 @@ def run_benchmarks() -> dict:
 
     timed(
         "img_decode_100k",
+        # min-actor floor at half the pool: the lazy actor-pool ramp-up
+        # otherwise costs ~40% of this stage's wall time (A/B in BASELINE.md)
         lambda: decoded_features(
-            image_dataset(100_000, with_bytes=True), concurrency=(1, max(2, NUM_CPUS - 2))
+            image_dataset(100_000, with_bytes=True),
+            concurrency=(max(2, NUM_CPUS // 2), max(2, NUM_CPUS - 2)),
         ).count(),
     )
 
