@@ -498,3 +498,49 @@ def get_clusters_bbox(
         return batch.filter(pa.array(keep))
 
     return cascade.map_batches(filt, batch_format="pyarrow")
+
+
+def write_cluster_cascade(cascade: "ray.data.Dataset", out_dir: str) -> dict:
+    """Persist an all-zooms cascade as zoom-partitioned Parquet
+    (``out/zoom=<z>/``) — the resumable-output shape the pyramid sink uses:
+    a map client reads one zoom's directory per view, and a rerun can skip
+    zoom partitions that already exist. Returns per-zoom row counts."""
+    import ray.data as _rd  # noqa: F401
+
+    cascade.write_parquet(out_dir, partition_cols=["zoom"])
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    counts: dict[int, int] = {}
+    for d in sorted(glob.glob(os.path.join(out_dir, "zoom=*"))):
+        z = int(os.path.basename(d).split("=")[1])
+        counts[z] = sum(
+            _pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        )
+    return {"zooms": counts, "rows": sum(counts.values())}
+
+
+def read_cluster_cascade(out_dir: str, zoom: int | None = None) -> "ray.data.Dataset":
+    """Read a written cascade back as a Dataset; ``zoom`` prunes to one
+    partition directory (only that zoom's files are touched)."""
+    import os
+
+    path = os.path.join(out_dir, f"zoom={zoom}") if zoom is not None else out_dir
+    ds = ray.data.read_parquet(path)
+
+    def fix_zoom(batch: pa.Table) -> pa.Table:
+        # hive partitioning surfaces the partition value as a string (or
+        # drops it when reading one directory); restore the int32 column
+        if "zoom" in batch.column_names:
+            idx = batch.column_names.index("zoom")
+            return batch.set_column(
+                idx, "zoom", batch.column("zoom").cast(pa.int32())
+            )
+        return batch.append_column(
+            "zoom", pa.array(np.full(batch.num_rows, zoom, dtype=np.int32))
+        )
+
+    return ds.map_batches(fix_zoom, batch_format="pyarrow")

@@ -314,3 +314,41 @@ def test_cluster_cascade_exact_fuzz_random_points(ray_session):
                 map(tuple, lv[["cluster_id", "point_count", "px", "py"]].itertuples(index=False))
             )
             assert have == want, (trial, z)
+
+
+def test_cluster_cascade_write_read_roundtrip(ray_session, fixtures, tmp_path):
+    """Zoom-partitioned cascade output: write, read one zoom back, and the
+    bbox query over the read matches the in-memory cascade."""
+    import ray.data
+
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import (
+        cluster_cascade_exact,
+        get_clusters_bbox,
+        read_cluster_cascade,
+        write_cluster_cascade,
+    )
+
+    rows = _places_mercator_points(fixtures)
+    options = ClusterOptions(max_zoom=4)
+    cascade = cluster_cascade_exact(ray.data.from_items(rows), options).materialize()
+    out = str(tmp_path / "cascade")
+    stats = write_cluster_cascade(cascade, out)
+    assert stats["rows"] == cascade.count()
+    assert set(stats["zooms"]) == set(range(options.min_zoom, options.max_zoom + 2))
+
+    bbox, zoom = [-100.0, 10.0, 30.0, 60.0], 2
+    want = (
+        get_clusters_bbox(cascade, bbox, zoom, options)
+        .to_pandas()
+        .sort_values(["px", "py"]) 
+        .reset_index(drop=True)
+    )
+    back = read_cluster_cascade(out, zoom=zoom)
+    got = (
+        get_clusters_bbox(back, bbox, zoom, options)
+        .to_pandas()[want.columns]
+        .sort_values(["px", "py"]) 
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
