@@ -16,6 +16,7 @@ closely but not bit-exactly; use it when the point set outgrows one node.
 
 from __future__ import annotations
 
+import json
 import math
 from typing import Optional
 
@@ -239,6 +240,9 @@ _CASCADE_SCHEMA = {
     "py": pa.float64(),
     "opx": pa.float64(),
     "opy": pa.float64(),
+    # original feature tags for singletons (JSON; "null" when absent),
+    # "" for cluster rows — cluster tags derive from count + id
+    "tags_json": pa.string(),
 }
 
 
@@ -312,11 +316,13 @@ def cluster_cascade_exact(
                     out["point_id"].append("")
                     out["opx"].append(data[i])
                     out["opy"].append(data[i + 1])
+                    out["tags_json"].append("")
                 else:
                     p = index.points[int(data[i + OFF_ID])]
                     out["point_id"].append(str(p["id"]))
                     out["opx"].append(float(p["geometry"][0]))
                     out["opy"].append(float(p["geometry"][1]))
+                    out["tags_json"].append(json.dumps(p.get("tags")))
                 out["point_count"].append(int(data[i + OFF_NUM]))
         return _cascade_table(out)
 
@@ -360,6 +366,7 @@ def cluster_cascade_grid(
                 "py": py,
                 "opx": px,
                 "opy": py,
+                "tags_json": ["null"] * n,
             }
         )
 
@@ -405,6 +412,7 @@ def cluster_cascade_grid(
             opys = g.column("opy").to_numpy()
             cnt = g.column("point_count").to_numpy()
             pids = g.column("point_id")
+            tjs = g.column("tags_json")
             cids = g.column("cluster_id").to_numpy()
             out = {k: [] for k in _CASCADE_SCHEMA}
             # deterministic synthetic cluster id: splitmix64-style mix of
@@ -434,6 +442,7 @@ def cluster_cascade_grid(
                     out["py"].append(cpy[j])
                     out["opx"].append(cpx[j])
                     out["opy"].append(cpy[j])
+                    out["tags_json"].append("")
                     local += 1
                 else:
                     out["cluster_id"].append(int(cids[i]))
@@ -443,6 +452,7 @@ def cluster_cascade_grid(
                     out["py"].append(ys[i])
                     out["opx"].append(opxs[i])
                     out["opy"].append(opys[i])
+                    out["tags_json"].append(tjs[i].as_py())
             return _cascade_table(out)
 
         level = (
@@ -544,3 +554,99 @@ def read_cluster_cascade(out_dir: str, zoom: int | None = None) -> "ray.data.Dat
         )
 
     return ds.map_batches(fix_zoom, batch_format="pyarrow")
+
+
+def get_cluster_tile(
+    cascade: "ray.data.Dataset",
+    z: int,
+    x: int,
+    y: int,
+    options: Optional[ClusterOptions] = None,
+):
+    """`getTile(z, x, y)` over an all-zooms cascade Dataset — reference
+    semantics (`src/cluster-tile-index.ts:248-284`): radius-padded inclusive
+    range query at limitZoom(z) over the tree coordinates, plus the x-edge
+    neighbor pulls that wrap dateline clusters into x==0 / x==2^z-1 tiles.
+    Returns the reference tile dict (`{z, x, y, features, ...}`, extent
+    coords via the JS round) or None when empty; the range filter runs
+    distributed and only the tile's own features reach the driver.
+
+    Notes vs the local `ClusterIndex.get_tile`: singleton feature ids
+    surface as the cascade's strings; `generate_id` and cluster
+    `map`/`reduce` extra properties are not carried by the cascade rows
+    (use the exact local index for those).
+    """
+    options = options or ClusterOptions()
+    zq = max(options.min_zoom, min(int(math.floor(float(z))), options.max_zoom + 1))
+    z2 = float(2**z)
+    p = options.radius / options.extent
+
+    # (x_query_lo, x_query_hi, x_transform) per range pull
+    pulls = [((x - p) / z2, (x + 1 + p) / z2, float(x))]
+    if x == 0:
+        pulls.append((1 - p / z2, 1.0, z2))
+    if x == z2 - 1:
+        pulls.append((0.0, p / z2, -1.0))
+    y0, y1 = (y - p) / z2, (y + 1 + p) / z2
+
+    def filt(batch: pa.Table) -> pa.Table:
+        zc = batch.column("zoom").to_numpy()
+        px = batch.column("px").to_numpy()
+        py = batch.column("py").to_numpy()
+        base = (zc == zq) & (py >= y0) & (py <= y1)
+        keep_parts = []
+        xoff = []
+        for lo, hi, xt in pulls:
+            m = base & (px >= lo) & (px <= hi)
+            keep_parts.append(np.nonzero(m)[0])
+            xoff.append(np.full(int(m.sum()), xt))
+        idx = np.concatenate(keep_parts)
+        sub = batch.take(pa.array(idx))
+        return sub.append_column(
+            "tile_x", pa.array(np.concatenate(xoff) if len(idx) else np.array([], dtype=np.float64))
+        )
+
+    rows = cascade.map_batches(filt, batch_format="pyarrow").take_all()
+    if not rows:
+        return None
+
+    def js_round(v: float) -> int:
+        return int(math.floor(v + 0.5))
+
+    features = []
+    for r in rows:
+        is_cluster = r["point_count"] > 1
+        if is_cluster:
+            count = int(r["point_count"])
+            if count >= 10000:
+                abbrev = f"{js_round(count / 1000)}k"
+            elif count >= 1000:
+                a = js_round(count / 100) / 10
+                abbrev = f"{int(a) if a == int(a) else a}k"
+            else:
+                abbrev = count
+            tags = {
+                "cluster": True,
+                "cluster_id": int(r["cluster_id"]),
+                "point_count": count,
+                "point_count_abbreviated": abbrev,
+            }
+            px_out, py_out = r["px"], r["py"]
+        else:
+            tags = json.loads(r["tags_json"]) if r["tags_json"] else None
+            px_out, py_out = r["opx"], r["opy"]
+        f = {
+            "type": 1,
+            "geometry": [
+                [
+                    js_round(options.extent * (px_out * z2 - r["tile_x"])),
+                    js_round(options.extent * (py_out * z2 - y)),
+                ]
+            ],
+            "tags": tags,
+        }
+        fid = int(r["cluster_id"]) if is_cluster else (r["point_id"] or None)
+        if fid is not None:
+            f["id"] = fid
+        features.append(f)
+    return {"z": int(z), "x": x, "y": y, "features": features, "transformed": True, "source": None}

@@ -352,3 +352,58 @@ def test_cluster_cascade_write_read_roundtrip(ray_session, fixtures, tmp_path):
         .reset_index(drop=True)
     )
     assert got.equals(want)
+
+
+def test_get_cluster_tile_matches_local(ray_session, fixtures):
+    """Distributed getTile over the cascade == ClusterIndex.get_tile on
+    places.json (as multisets — the kdbush range order is not reproduced),
+    including the x-edge dateline tiles."""
+    import json as _json
+
+    import ray.data
+
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import (
+        cluster_cascade_exact,
+        get_cluster_tile,
+    )
+
+    rows = _places_mercator_points(fixtures)
+    options = ClusterOptions(max_zoom=5)
+    cascade = cluster_cascade_exact(ray.data.from_items(rows), options).materialize()
+
+    # the cascade input (pid, px, py) carries no tags, so compare against a
+    # tagless local index (tags round-trip through tags_json as null)
+    index_plain = ClusterIndex(options)
+    index_plain.initialize(
+        [
+            {
+                "id": r["pid"], "type": "Point",
+                "geometry": [r["px"], r["py"]], "tags": None,
+                "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+            }
+            for r in rows
+        ]
+    )
+
+    def norm(tile):
+        if tile is None or not tile["features"]:
+            return set()
+        out = set()
+        for f in tile["features"]:
+            tags = f.get("tags")
+            out.add(
+                (
+                    tuple(map(tuple, f["geometry"])),
+                    _json.dumps(tags, sort_keys=True),
+                    str(f.get("id")),
+                )
+            )
+        return out
+
+    z2 = 1 << 2
+    for (z, tx, ty) in [(0, 0, 0), (1, 0, 0), (2, 0, 1), (2, z2 - 1, 1), (2, 2, 1)]:
+        want = norm(index_plain.get_tile(z, tx, ty))
+        got = norm(get_cluster_tile(cascade, z, tx, ty, options))
+        assert got == want, (z, tx, ty)
