@@ -22,6 +22,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -41,6 +42,12 @@ def cluster_tiles_exact(
         from ..cluster import ClusterIndex
         from ..datagen.images import mercator_xy
 
+        # Ray Data does not preserve block order by default
+        # (preserve_order=False): the greedy is order-dependent, so the
+        # single holder defines input order as ascending image_id — the
+        # image table's zero-padded ids make that the ingest order
+        order = pc.sort_indices(batch.column("image_id"))
+        batch = batch.take(order)
         mx, my = mercator_xy(batch.column("phash").to_numpy())
         ids = batch.column("image_id").to_pylist()
         feats = [
@@ -287,6 +294,8 @@ def cluster_cascade_exact(
         from ..cluster import ClusterIndex
         from ..cluster.index import OFF_ID, OFF_NUM
 
+        # deterministic input order (see cluster_tiles_exact): ascending pid
+        batch = batch.take(pc.sort_indices(batch.column("pid")))
         pids = batch.column("pid").to_pylist()
         px = batch.column("px").to_numpy()
         py = batch.column("py").to_numpy()

@@ -132,6 +132,10 @@ def _places_mercator_points(fixtures):
         rows.append(
             {"pid": str(i), "px": float(project_x(lng)), "py": float(project_y(lat))}
         )
+    # the distributed exact cascade defines input order as ascending pid
+    # (Ray block order is not deterministic); feed the local comparison
+    # index in the same order
+    rows.sort(key=lambda r: r["pid"])
     return rows
 
 
@@ -277,10 +281,13 @@ def test_cluster_cascade_exact_fuzz_random_points(ray_session):
         px = np.concatenate([rs.uniform(0, 1, n), 0.5 + 0.001 * rs.standard_normal(n // 4)])
         py = np.concatenate([rs.uniform(0, 1, n), 0.5 + 0.001 * rs.standard_normal(n // 4)])
         px, py = np.clip(px, 0, 1), np.clip(py, 0, 1)
-        rows = [
-            {"pid": str(i), "px": float(px[i]), "py": float(py[i])}
-            for i in range(len(px))
-        ]
+        rows = sorted(
+            (
+                {"pid": str(i), "px": float(px[i]), "py": float(py[i])}
+                for i in range(len(px))
+            ),
+            key=lambda r: r["pid"],
+        )
         options = ClusterOptions(max_zoom=int(rs.choice([4, 6])))
         got = cluster_cascade_exact(
             ray.data.from_items(rows).repartition(4), options
