@@ -345,9 +345,24 @@ def ivf_topk(
     merge as the brute-force path. Recall vs `brute_force_topk` is
     asserted in tests.
     """
-    sample = _emb_matrix(
-        embeddings.limit(sample_size).take_batch(sample_size, batch_format="pyarrow")
-    )
+    # deterministic training sample: limit() on an unordered stream returns
+    # whichever blocks finish first (Ray preserve_order=False), which made
+    # the codebook — and the returned neighbors — vary run to run. A hash
+    # filter on vec_id is order-independent and unbiased.
+    n_rows = max(1, embeddings.count())
+    stride = max(1, n_rows // sample_size)
+
+    def keep_sample(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vec_id").to_numpy().astype(np.uint64)
+        m = (vid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(stride) == 0
+        return batch.filter(pa.array(m))
+
+    sample_rows = embeddings.map_batches(keep_sample, batch_format="pyarrow").take_all()
+    import pyarrow as _pa
+
+    sample_tbl = _pa.Table.from_pylist(sample_rows)
+    order = np.argsort(sample_tbl.column("vec_id").to_numpy(), kind="stable")
+    sample = _emb_matrix(sample_tbl.take(_pa.array(order)))
     cents = _spherical_kmeans(sample, n_centroids, kmeans_iters)
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
