@@ -378,26 +378,32 @@ def _js_num(v: float) -> Any:
     return int(v) if v == int(v) else v
 
 
-def _cluster_properties(
-    data: list[float], i: int, cluster_props: list[dict], stride: int = 6
-) -> dict:
-    count = int(data[i + OFF_NUM])
+def cluster_tags(cluster_id: int, count: int) -> dict:
+    """The reference's cluster feature properties for a (cluster_id, count)
+    pair — the single source of the point_count abbreviation rules
+    (`src/cluster-tile-index.ts:502-516`), shared with the distributed
+    cascade's getTile."""
     if count >= 10000:
         abbrev: Any = f"{_js_round(count / 1000)}k"
     elif count >= 1000:
         abbrev = f"{_js_num(_js_round(count / 100) / 10)}k"
     else:
         abbrev = count
+    return {
+        "cluster": True,
+        "cluster_id": cluster_id,
+        "point_count": count,
+        "point_count_abbreviated": abbrev,
+    }
+
+
+def _cluster_properties(
+    data: list[float], i: int, cluster_props: list[dict], stride: int = 6
+) -> dict:
+    count = int(data[i + OFF_NUM])
     # stride-6 rows carry no prop slot (reduce off) → empty base properties
     prop_index = int(data[i + OFF_PROP]) if stride == 7 else -1
     in_range = 0 <= prop_index < len(cluster_props)
     properties = dict(cluster_props[prop_index]) if (prop_index != -1 and in_range) else {}
-    properties.update(
-        {
-            "cluster": True,
-            "cluster_id": int(data[i + OFF_ID]),
-            "point_count": count,
-            "point_count_abbreviated": abbrev,
-        }
-    )
+    properties.update(cluster_tags(int(data[i + OFF_ID]), count))
     return properties

@@ -347,22 +347,38 @@ def ivf_topk(
     """
     # deterministic training sample: limit() on an unordered stream returns
     # whichever blocks finish first (Ray preserve_order=False), which made
-    # the codebook — and the returned neighbors — vary run to run. A hash
-    # filter on vec_id is order-independent and unbiased.
+    # the codebook — and the returned neighbors — vary run to run. An
+    # order-independent hash filter on vec_id replaces it; the xor-shift
+    # after the multiply is what makes it safe — multiplication alone
+    # preserves residues mod powers of two, so structured id sets (all-odd,
+    # stride-4 shards) would keep none or all of the rows. Costs one count
+    # (parquet metadata when the input is a read) and one filter pass —
+    # the price of determinism. Local-filesystem/driver-sized sample only.
     n_rows = max(1, embeddings.count())
     stride = max(1, n_rows // sample_size)
 
+    def _mix(vid: np.ndarray) -> np.ndarray:
+        h = vid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return h ^ (h >> np.uint64(31))
+
     def keep_sample(batch: pa.Table) -> pa.Table:
-        vid = batch.column("vec_id").to_numpy().astype(np.uint64)
-        m = (vid * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(stride) == 0
+        m = _mix(batch.column("vec_id").to_numpy()) % np.uint64(stride) == 0
         return batch.filter(pa.array(m))
 
     sample_rows = embeddings.map_batches(keep_sample, batch_format="pyarrow").take_all()
-    import pyarrow as _pa
-
-    sample_tbl = _pa.Table.from_pylist(sample_rows)
-    order = np.argsort(sample_tbl.column("vec_id").to_numpy(), kind="stable")
-    sample = _emb_matrix(sample_tbl.take(_pa.array(order)))
+    if not sample_rows:
+        # degenerate id set evaded the hash — fall back to the (order-
+        # nondeterministic) bounded head rather than crash
+        sample_rows = embeddings.limit(sample_size).take_all()
+    sample_tbl = pa.Table.from_pylist(sample_rows)
+    vid = sample_tbl.column("vec_id").to_numpy()
+    if len(vid) > 4 * sample_size:
+        # over-selection guard: keep the sample_size smallest mixed hashes
+        keep = np.argsort(_mix(vid), kind="stable")[:sample_size]
+        sample_tbl = sample_tbl.take(pa.array(np.sort(keep)))
+        vid = sample_tbl.column("vec_id").to_numpy()
+    order = np.argsort(vid, kind="stable")
+    sample = _emb_matrix(sample_tbl.take(pa.array(order)))
     cents = _spherical_kmeans(sample, n_centroids, kmeans_iters)
     q = np.asarray(query_vecs, dtype=np.float64)
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)

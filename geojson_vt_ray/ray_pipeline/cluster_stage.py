@@ -287,6 +287,13 @@ def cluster_cascade_exact(
     Bit-exact single-holder path (the greedy is order-dependent, same
     one-node cap as the reference); `cluster_cascade_grid` is the scale-out
     variant. Input: (pid, px, py) mercator point rows (`mercator_points`).
+
+    Input-order contract: Ray does not preserve block order
+    (preserve_order=False), so the holder defines processing order as
+    ascending pid STRING order. To reproduce a specific ingest order, feed
+    well-ordered pids (the image table's zero-padded image_id qualifies;
+    bare numeric strings sort "10" < "2" and will NOT match an index built
+    in numeric order).
     """
     options = options or ClusterOptions()
 
@@ -521,12 +528,12 @@ def get_clusters_bbox(
 
 def write_cluster_cascade(cascade: "ray.data.Dataset", out_dir: str) -> dict:
     """Persist an all-zooms cascade as zoom-partitioned Parquet
-    (``out/zoom=<z>/``) — the resumable-output shape the pyramid sink uses:
-    a map client reads one zoom's directory per view, and a rerun can skip
-    zoom partitions that already exist. Returns per-zoom row counts."""
-    import ray.data as _rd  # noqa: F401
-
-    cascade.write_parquet(out_dir, partition_cols=["zoom"])
+    (``out/zoom=<z>/``): a map client reads one zoom's directory per view.
+    Reruns OVERWRITE the directory (append would silently double every
+    previously-written partition). Returns per-zoom row counts — counted
+    with local glob, so the count verification only works for local paths
+    (the sandbox storage shape); remote URIs write fine but report 0."""
+    cascade.write_parquet(out_dir, partition_cols=["zoom"], mode="overwrite")
     import glob
     import os
 
@@ -619,27 +626,14 @@ def get_cluster_tile(
     if not rows:
         return None
 
-    def js_round(v: float) -> int:
-        return int(math.floor(v + 0.5))
+    from ..cluster.index import _js_round as js_round
+    from ..cluster.index import cluster_tags
 
     features = []
     for r in rows:
         is_cluster = r["point_count"] > 1
         if is_cluster:
-            count = int(r["point_count"])
-            if count >= 10000:
-                abbrev = f"{js_round(count / 1000)}k"
-            elif count >= 1000:
-                a = js_round(count / 100) / 10
-                abbrev = f"{int(a) if a == int(a) else a}k"
-            else:
-                abbrev = count
-            tags = {
-                "cluster": True,
-                "cluster_id": int(r["cluster_id"]),
-                "point_count": count,
-                "point_count_abbreviated": abbrev,
-            }
+            tags = cluster_tags(int(r["cluster_id"]), int(r["point_count"]))
             px_out, py_out = r["px"], r["py"]
         else:
             tags = json.loads(r["tags_json"]) if r["tags_json"] else None

@@ -344,6 +344,10 @@ def test_cluster_cascade_write_read_roundtrip(ray_session, fixtures, tmp_path):
     assert stats["rows"] == cascade.count()
     assert set(stats["zooms"]) == set(range(options.min_zoom, options.max_zoom + 2))
 
+    # rerun must OVERWRITE, not append-duplicate, every partition
+    stats2 = write_cluster_cascade(cascade, out)
+    assert stats2 == stats
+
     bbox, zoom = [-100.0, 10.0, 30.0, 60.0], 2
     want = (
         get_clusters_bbox(cascade, bbox, zoom, options)
