@@ -277,3 +277,36 @@ def sampled_frames(
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+def phash_near_dup_pairs(
+    images: "ray.data.Dataset",
+    max_hamming: int = 4,
+    bucket_cap: int = 4096,
+) -> "ray.data.Dataset":
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the standard image dedup for a training-data pipeline, over the
+    input_hint table's ``phash:int64`` column (no pixel decode needed).
+
+    Exact (not approximate): the generic pigeonhole-banding core
+    `text.hamming_near_dup_pairs` splits the 64-bit phash into
+    ``max_hamming + 1`` bands, so every pair within the Hamming budget
+    shares at least one exact band value and candidate generation is a
+    bounded groupby — only (band, value, image_id, phash) rows shuffle,
+    never ``bytes``. Over-cap buckets (a degenerate corpus of one
+    near-identical image) are triangle-blocked; see the core's docstring.
+
+    Returns one row per unordered pair: ``image_a < image_b``,
+    ``hamming`` ≤ ``max_hamming``.
+    """
+    from .text import hamming_near_dup_pairs
+
+    return hamming_near_dup_pairs(
+        images.select_columns(["image_id", "phash"]),
+        id_col="image_id",
+        sig_col="phash",
+        out_a="image_a",
+        out_b="image_b",
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
+    )

@@ -821,26 +821,33 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
-def simhash_near_dup_pairs(
-    docs: "ray.data.Dataset",
+def hamming_near_dup_pairs(
+    sigs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
     max_hamming: int = 3,
-    shingle_k: int = 2,
     bucket_cap: int = 4096,
 ) -> "ray.data.Dataset":
-    """SimHash near-duplicate pairs: Hamming distance ≤ ``max_hamming`` on
-    64-bit signatures, found EXACTLY (not approximately) via pigeonhole
-    banding.
+    """Near-duplicate pairs on any 64-bit signature column: Hamming
+    distance ≤ ``max_hamming``, found EXACTLY (not approximately) via
+    pigeonhole banding. Shared core of the text SimHash dedup
+    (`simhash_near_dup_pairs`) and the image perceptual-hash dedup
+    (`images.phash_near_dup_pairs` over the input_hint `phash` column).
 
     The 64 bits split into ``max_hamming + 1`` bands; any pair within the
-    Hamming budget must agree exactly on at least one band, so candidate
-    generation is a groupby on (band, band value) — only (band, value,
-    doc_id, simhash) rows shuffle, never text. Within-bucket verification is
-    a vectorized XOR + SWAR popcount; duplicates found in several bands
-    dedupe in a second small groupby over the pair keys. Same recall as the
-    all-pairs scan by construction, at shuffle cost O(docs · bands) +
-    Σ bucket².
+    Hamming budget must agree exactly on at least one band (≤ max_hamming
+    differing bits over max_hamming+1 disjoint bands leave one band clean
+    — bits outside band coverage when 64 % n_bands != 0 only *reduce* the
+    differing bits a band can see), so candidate generation is a groupby
+    on (band, band value) — only (band, value, id, sig) rows shuffle,
+    never payloads. Within-bucket verification is a vectorized XOR + SWAR
+    popcount; duplicates found in several bands dedupe in a second small
+    groupby over the pair keys. Same recall as the all-pairs scan by
+    construction, at shuffle cost O(rows · bands) + Σ bucket².
 
-    Skew guard (``bucket_cap``): a degenerate corpus where many documents
+    Skew guard (``bucket_cap``): a degenerate corpus where many rows
     share a band value would make one bucket quadratic in ONE task.
     Buckets above the cap are TRIANGLE-BLOCKED: members round-robin
     (per-bucket running rank — stride-proof, unlike a member-key hash)
@@ -855,7 +862,6 @@ def simhash_near_dup_pairs(
     n_bands = max_hamming + 1
     width = 64 // n_bands
     mask = np.uint64((1 << width) - 1)
-    sigs = simhash_signatures(docs, shingle_k=shingle_k)
 
     def band_stage(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -864,12 +870,12 @@ def simhash_near_dup_pairs(
                 {
                     "band": pa.array([], pa.int8()),
                     "bval": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], batch.column("doc_id").type),
+                    "doc_id": pa.array([], batch.column(id_col).type),
                     "simhash": pa.array([], pa.int64()),
                 }
             )
-        sig = batch.column("simhash").to_numpy().astype(np.uint64)
-        ids = batch.column("doc_id")
+        sig = batch.column(sig_col).to_numpy().astype(np.uint64)
+        ids = batch.column(id_col)
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         bands = np.repeat(np.arange(n_bands, dtype=np.int8), n)
@@ -883,10 +889,10 @@ def simhash_near_dup_pairs(
                 "bval": pa.array(bvals),
                 "doc_id": ids.take(idx),
                 "simhash": pa.concat_arrays(
-                    [batch.column("simhash").combine_chunks()] * n_bands
+                    [batch.column(sig_col).combine_chunks()] * n_bands
                 )
-                if isinstance(batch.column("simhash"), pa.ChunkedArray)
-                else pa.concat_arrays([batch.column("simhash")] * n_bands),
+                if isinstance(batch.column(sig_col), pa.ChunkedArray)
+                else pa.concat_arrays([batch.column(sig_col)] * n_bands),
             }
         )
 
@@ -928,9 +934,9 @@ def simhash_near_dup_pairs(
     def first_of_pair(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
-    # pin the (doc_id, simhash) rows — ~16 bytes/doc, no text — so the
+    # pin the (id, signature) rows — ~16 bytes/row, no payloads — so the
     # two consumers below (bucket-size scan + the banding join) don't
-    # recompute the shingle/signature stage twice
+    # recompute the upstream signature stage twice
     sigs = sigs.materialize()
     tagged = sigs.map_batches(band_stage, batch_format="pyarrow")
 
@@ -1001,12 +1007,39 @@ def simhash_near_dup_pairs(
             }
         )
 
-    return (
+    pairs = (
         tagged.map_batches(block_stage, batch_format="pyarrow")
         .groupby(["band", "bval", "c1", "c2"])
         .map_groups(block_pairs, batch_format="pyarrow")
         .groupby(["doc_a", "doc_b"])
         .map_groups(first_of_pair, batch_format="pyarrow")
+    )
+    if (out_a, out_b) != ("doc_a", "doc_b"):
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([out_a, out_b, "hamming"])
+
+        pairs = pairs.map_batches(rename, batch_format="pyarrow")
+    return pairs
+
+
+def simhash_near_dup_pairs(
+    docs: "ray.data.Dataset",
+    max_hamming: int = 3,
+    shingle_k: int = 2,
+    bucket_cap: int = 4096,
+) -> "ray.data.Dataset":
+    """SimHash near-duplicate pairs: Hamming distance ≤ ``max_hamming`` on
+    the 64-bit text signatures — `simhash_signatures` feeding the generic
+    pigeonhole-banding core `hamming_near_dup_pairs` (see its docstring
+    for the exactness and skew-guard contracts)."""
+    sigs = simhash_signatures(docs, shingle_k=shingle_k)
+    return hamming_near_dup_pairs(
+        sigs,
+        id_col="doc_id",
+        sig_col="simhash",
+        max_hamming=max_hamming,
+        bucket_cap=bucket_cap,
     )
 
 

@@ -450,3 +450,51 @@ def test_minhash_mersenne_fold_equals_modulo():
         (mh.a[:, None] * h31[None, :] + mh.b[:, None]) % M, offsets, axis=1
     )
     assert np.array_equal(got, want)
+
+
+def test_phash_near_dup_pairs_bruteforce_and_blocking(ray_session):
+    """Image phash Hamming dedup (generic banding core over the
+    input_hint phash column): equals the numpy all-pairs scan exactly,
+    and triangle-blocking over-cap buckets leaves the pair set
+    unchanged on a degenerate corpus of near-identical hashes."""
+    import pyarrow as pa
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.images import phash_near_dup_pairs
+    from geojson_vt_ray.ray_pipeline.text import _popcount64
+
+    rng = np.random.RandomState(7)
+    n, k = 80, 4
+    base = rng.randint(0, 1 << 62, size=n // 4, dtype=np.int64)
+    # each base spawns 4 variants within Hamming<=2 of it (so siblings are
+    # within <=4 of each other) -> dense pairs AND giant band buckets
+    ph = np.repeat(base, 4)
+    flips = rng.randint(0, 62, size=(n, 2)).astype(np.uint64)
+    masks = np.zeros(n, dtype=np.uint64)
+    for j in range(2):
+        masks |= np.uint64(1) << flips[:, j]
+    ph = (ph.astype(np.uint64) ^ masks).astype(np.int64)
+    ids = [f"img-{i:04d}" for i in range(n)]
+    tbl = pa.table({"image_id": pa.array(ids, pa.string()), "phash": pa.array(ph)})
+
+    # numpy brute-force truth
+    ii, jj = np.triu_indices(n, k=1)
+    ham = _popcount64(
+        np.bitwise_xor(ph.astype(np.uint64)[ii], ph.astype(np.uint64)[jj])
+    ).astype(np.int64)
+    keep = ham <= k
+    truth = {
+        (ids[a], ids[b], int(h)) for a, b, h in zip(ii[keep], jj[keep], ham[keep])
+    }
+    assert len(truth) >= n // 4 * 6  # every 4-variant family is mutually close
+
+    def run(cap):
+        out = phash_near_dup_pairs(
+            ray.data.from_arrow(tbl), max_hamming=k, bucket_cap=cap
+        ).to_pandas()
+        return set(
+            map(tuple, out[["image_a", "image_b", "hamming"]].itertuples(index=False))
+        )
+
+    assert run(cap=10**9) == truth
+    assert run(cap=7) == truth  # forced triangle-blocking, same pairs
