@@ -298,6 +298,13 @@ def phash_near_dup_pairs(
 
     Returns one row per unordered pair: ``image_a < image_b``,
     ``hamming`` ≤ ``max_hamming``.
+
+    For keep-one-per-cluster dedup, feed these pairs to
+    `graph.connected_components` + `graph.labeled_clusters` exactly as
+    `text.simhash_dedup_clusters` does — those primitives shuffle int64
+    (node, label) pairs, so map string image ids to a unique int64 column
+    first (the synthesized table's ids embed their integer index; don't
+    hash-derive one, a 64-bit hash is not collision-free at 10^12 rows).
     """
     from .text import hamming_near_dup_pairs
 
