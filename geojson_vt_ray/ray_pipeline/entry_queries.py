@@ -28,16 +28,21 @@ LAT = f"(({IMG_EXPR} * 2246822519) % 2147483648)"
 IMG_ID = "'img-' || lpad(CAST(doc_id + 1 AS VARCHAR), 12, '0')"
 
 
-def _image_points(sf_dir: str) -> "ray.data.Dataset":
-    """Image rows (no pixel payloads) georeferenced from doc_id+1."""
+def _base_image_rows(doc_ids: np.ndarray) -> tuple[list[str], np.ndarray]:
+    """The ONE base image-row construction (id string + phash) every img_*
+    query derives from — keep in sync with the IMG_ID/LNG/LAT SQL macros."""
     from ..datagen.images import phash_of_index_vec
 
+    idx = doc_ids + 1
+    return [f"img-{i:012d}" for i in idx], phash_of_index_vec(idx)
+
+
+def _image_points(sf_dir: str) -> "ray.data.Dataset":
+    """Image rows (no pixel payloads) georeferenced from doc_id+1."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def build(batch: pa.Table) -> pa.Table:
-        idx = batch.column("doc_id").to_numpy() + 1
-        ph = phash_of_index_vec(idx)
-        ids = [f"img-{i:012d}" for i in idx]
+        ids, ph = _base_image_rows(batch.column("doc_id").to_numpy())
         return pa.table({"image_id": pa.array(ids, pa.string()), "phash": pa.array(ph)})
 
     return docs.map_batches(build, batch_format="pyarrow")
@@ -870,16 +875,14 @@ def _image_phash_rows(sf_dir: str) -> "ray.data.Dataset":
     20th image gets a twin whose phash differs in ≤3 deterministic bit
     positions (the synthetic phashes are uniform 63-bit values, so without
     planting, Hamming-≤4 pairs would be vanishingly rare). The identical
-    construction exists in SQL (`_IMG_PHASH_SQL_CTE`) for the oracle."""
-    from ..datagen.images import phash_of_index_vec
-
+    construction exists inline in ``ORACLES["img_phash_near_dup"]``'s
+    ``img`` CTE — change the bit positions in BOTH places."""
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def build(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy()
         idx = d + 1
-        ph = phash_of_index_vec(idx)
-        ids = [f"img-{i:012d}" for i in idx]
+        ids, ph = _base_image_rows(d)
         vm = d % 20 == 0
         dv = d[vm].astype(np.uint64)
         mask = (

@@ -1015,9 +1015,16 @@ def hamming_near_dup_pairs(
         .map_groups(first_of_pair, batch_format="pyarrow")
     )
     if (out_a, out_b) != ("doc_a", "doc_b"):
-
+        # name-keyed (not positional) so a future column reorder upstream
+        # fails loudly instead of silently mislabeling
         def rename(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns([out_a, out_b, "hamming"])
+            return pa.table(
+                {
+                    out_a: batch.column("doc_a"),
+                    out_b: batch.column("doc_b"),
+                    "hamming": batch.column("hamming"),
+                }
+            )
 
         pairs = pairs.map_batches(rename, batch_format="pyarrow")
     return pairs

@@ -31,7 +31,36 @@ def test_oracled_queries_form_a_prefix_within_the_driver_cap():
     )
 
 
-def test_queries_are_callable_and_named_uniquely():
-    assert len(eq.QUERIES) == len(set(eq.QUERIES))
+def test_queries_are_callable():
     for name, fn in eq.QUERIES.items():
         assert callable(fn), name
+
+
+def test_no_duplicate_keys_in_registry_literals():
+    """A repeated key in a dict LITERAL silently keeps the last binding, so
+    the runtime dict can't reveal it — scan the source AST instead."""
+    import ast
+    import inspect
+
+    tree = ast.parse(inspect.getsource(eq))
+    for target_name in ("QUERIES", "ORACLES"):
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.AnnAssign)
+                and isinstance(node.target, ast.Name)
+                and node.target.id == target_name
+            ) or (
+                isinstance(node, ast.Assign)
+                and any(
+                    isinstance(t, ast.Name) and t.id == target_name
+                    for t in node.targets
+                )
+            ):
+                keys = [
+                    k.value
+                    for k in node.value.keys
+                    if isinstance(k, ast.Constant)
+                ]
+                dupes = {k for k in keys if keys.count(k) > 1}
+                assert not dupes, f"duplicate keys in {target_name}: {dupes}"
+                assert len(keys) == len(getattr(eq, target_name))
