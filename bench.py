@@ -158,6 +158,44 @@ def run_benchmarks() -> dict:
         .count(),
     )
 
+    # ---- image near-dup dedup by phash Hamming (pigeonhole banding):
+    # 2M rows + a planted ~5% variant twin population (2-bit flips keyed off
+    # the phash itself, so synthesis stays embarrassingly parallel)
+    from geojson_vt_ray.ray_pipeline.images import phash_near_dup_pairs
+
+    def _phash_with_variants() -> "ray.data.Dataset":
+        def add_variants(b):
+            import pyarrow as pa
+
+            ph = b.column("phash").to_numpy().astype(np.uint64)
+            ids = b.column("image_id")
+            vm = (ph % np.uint64(20)) == 0
+            pv = ph[vm]
+            mask = (np.uint64(1) << (pv % np.uint64(63))) | (
+                np.uint64(1) << ((pv >> np.uint64(7)) % np.uint64(63))
+            )
+            vids = [s + "-v" for s in ids.filter(pa.array(vm)).to_pylist()]
+            return pa.table(
+                {
+                    "image_id": pa.concat_arrays(
+                        [ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids,
+                         pa.array(vids, pa.string())]
+                    ),
+                    "phash": pa.array(
+                        np.concatenate([ph, pv ^ mask]).astype(np.int64)
+                    ),
+                }
+            )
+
+        return image_dataset(n_imgs, with_bytes=False).map_batches(
+            add_variants, batch_format="pyarrow"
+        )
+
+    timed(
+        "img_phash_dedup_2m",
+        lambda: phash_near_dup_pairs(_phash_with_variants(), max_hamming=3).count(),
+    )
+
     rects = rect_table(np.arange(1, 2001))
     timed(
         "img_rect_join_500k",

@@ -137,10 +137,43 @@ def scan_monsters(keyed_ds, key_cols: list[str], cap: int) -> dict:
     `monster_chunks` dict. One groupby-count shuffle; the caller decides
     whether the keyed dataset re-executes its tag stage (the usual
     re-scan-don't-pin tradeoff) or is already materialized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    # Two-level vectorized count instead of Ray's groupby().count():
+    # that aggregation dispatches per distinct key, and the monster scan
+    # sees MILLIONS of distinct (mostly size-1) keys — measured 58 s for
+    # 8.4M rows / 262k keys vs ~2 s for this shape. Level 1: per-batch
+    # partial counts via Arrow's C++ group_by; level 2: partials hash
+    # into a bounded number of reduce partitions, each re-aggregated
+    # vectorized. Keys are ints in every call site (band values, shingle
+    # hashes), which the hash below relies on.
+    n_parts = 64
+    _KM = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(key_cols).group_by(key_cols).aggregate([([], "count_all")])
+        h = np.zeros(g.num_rows, dtype=np.uint64)
+        for i, c in enumerate(key_cols):
+            h ^= (g.column(c).to_numpy().astype(np.uint64) + np.uint64(i)) * _KM
+        h = (h ^ (h >> np.uint64(31))) * _KM
+        return g.append_column(
+            "pk", pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        g = (
+            group.select(key_cols + ["count_all"])
+            .group_by(key_cols)
+            .aggregate([("count_all", "sum")])
+        )
+        g = g.filter(pc.greater(g.column("count_all_sum"), cap))
+        return g.rename_columns(key_cols + ["count()"])
+
     counts = (
-        keyed_ds.groupby(key_cols[0] if len(key_cols) == 1 else key_cols)
-        .count()
-        .filter(lambda r: r["count()"] > cap)
+        keyed_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(reduce_part, batch_format="pyarrow")
         .to_pandas()
     )
     return monster_chunks(counts, key_cols, cap)

@@ -829,6 +829,7 @@ def hamming_near_dup_pairs(
     out_b: str = "doc_b",
     max_hamming: int = 3,
     bucket_cap: int = 4096,
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs on any 64-bit signature column: Hamming
     distance ≤ ``max_hamming``, found EXACTLY (not approximately) via
@@ -902,37 +903,104 @@ def hamming_near_dup_pairs(
                 "doc_a": pa.array([], id_type),
                 "doc_b": pa.array([], id_type),
                 "hamming": pa.array([], pa.int64()),
+                "dk": pa.array([], pa.int64()),
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """Every (band, bval, c1, c2) bucket hashed into this partition,
+        processed in ONE task: per-bucket work is a small numpy kernel over
+        a sorted segment, ~µs each — a naive groupby-per-bucket pays a
+        Python map_groups dispatch per bucket, which collapses at millions
+        of tiny buckets (2M rows end-to-end measured 117 s before this
+        shape + the bounded monster-scan/dedup, ~11 s after, 32 CPUs)."""
         ids_col = group.column("doc_id")
-        if n < 2:
+        n = group.num_rows
+        if n == 0:
             return _empty_pairs(ids_col.type)
-        sig = group.column("simhash").to_numpy().astype(np.uint64)
-        ii, jj = np.triu_indices(n, k=1)
-        ham = _popcount64(np.bitwise_xor(sig[ii], sig[jj])).astype(np.int64)
-        keep = ham <= max_hamming
-        if not keep.any():
-            return _empty_pairs(ids_col.type)
-        ii, jj, ham = ii[keep], jj[keep], ham[keep]
+        band = group.column("band").to_numpy()
+        bval = group.column("bval").to_numpy()
+        c1 = group.column("c1").to_numpy()
+        c2 = group.column("c2").to_numpy()
+        chunk = group.column("chunk").to_numpy()
+        order = np.lexsort((c2, c1, bval, band))
+        band, bval, c1, c2, chunk = (
+            a[order] for a in (band, bval, c1, c2, chunk)
+        )
+        sig = group.column("simhash").to_numpy().astype(np.uint64)[order]
         if isinstance(ids_col, pa.ChunkedArray):
             ids_col = ids_col.combine_chunks()
-        ids = np.asarray(ids_col.to_pylist(), dtype=object)
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap]
+        ids = np.asarray(ids_col.to_pylist(), dtype=object)[order]
+        new_seg = np.r_[
+            True,
+            (band[1:] != band[:-1])
+            | (bval[1:] != bval[:-1])
+            | (c1[1:] != c1[:-1])
+            | (c2[1:] != c2[:-1]),
+        ]
+        starts = np.flatnonzero(new_seg)
+        ends = np.r_[starts[1:], n]
+        out_as: list[np.ndarray] = []
+        out_bs: list[np.ndarray] = []
+        out_hs: list[np.ndarray] = []
+        out_dk: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            seg_len = int(e - s)
+            if seg_len < 2:
+                continue
+            ssig = sig[s:e]
+            sids = ids[s:e]
+            if c1[s] == c2[s]:
+                # triangle: sort by id so emitted pairs satisfy a <= b
+                o = np.argsort(sids, kind="stable")
+                sids = sids[o]
+                ssig = ssig[o]
+                ii, jj = np.triu_indices(seg_len, k=1)
+            else:
+                li = np.flatnonzero(chunk[s:e] == c1[s])
+                ri = np.flatnonzero(chunk[s:e] == c2[s])
+                if len(li) == 0 or len(ri) == 0:
+                    continue
+                ii = np.repeat(li, len(ri))
+                jj = np.tile(ri, len(li))
+            ham = _popcount64(np.bitwise_xor(ssig[ii], ssig[jj])).astype(
+                np.int64
+            )
+            keep = ham <= max_hamming
+            if not keep.any():
+                continue
+            ii, jj, ham = ii[keep], jj[keep], ham[keep]
+            a, b = sids[ii].copy(), sids[jj].copy()
+            sa, sb = ssig[ii].copy(), ssig[jj].copy()
+            swap = a > b
+            a[swap], b[swap] = b[swap], a[swap]
+            sa[swap], sb[swap] = sb[swap], sa[swap]
+            # dedup partition key: a pure function of the (id-ordered)
+            # signature pair, so every band's duplicate of the same pair
+            # hashes to the same partition (collisions only affect balance
+            # — dedup itself groups on the full id pair)
+            dk = (sa * np.uint64(0x9E3779B97F4A7C15)) ^ (
+                sb * np.uint64(0xBF58476D1CE4E5B9)
+            )
+            dk = (dk ^ (dk >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
+            out_as.append(a)
+            out_bs.append(b)
+            out_hs.append(ham)
+            out_dk.append(
+                ((dk ^ (dk >> np.uint64(29))) % np.uint64(n_partitions)).astype(
+                    np.int64
+                )
+            )
+        if not out_as:
+            return _empty_pairs(ids_col.type)
         return pa.table(
             {
-                "doc_a": pa.array(a.tolist(), ids_col.type),
-                "doc_b": pa.array(b.tolist(), ids_col.type),
-                "hamming": pa.array(ham),
+                "doc_a": pa.array(np.concatenate(out_as).tolist(), ids_col.type),
+                "doc_b": pa.array(np.concatenate(out_bs).tolist(), ids_col.type),
+                "hamming": pa.array(np.concatenate(out_hs)),
+                "dk": pa.array(np.concatenate(out_dk)),
             }
         )
-
-    def first_of_pair(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
 
     # pin the (id, signature) rows — ~16 bytes/row, no payloads — so the
     # two consumers below (bucket-size scan + the banding join) don't
@@ -972,62 +1040,59 @@ def hamming_near_dup_pairs(
             .append_column("c2", pa.array(c2.astype(np.int32)))
             .append_column("chunk", pa.array(ch.astype(np.int32)))
         )
-    def block_pairs(group: pa.Table) -> pa.Table:
-        ids_col = group.column("doc_id")
-        if group.num_rows < 2:
-            return _empty_pairs(ids_col.type)
-        c1 = int(group.column("c1")[0].as_py())
-        c2 = int(group.column("c2")[0].as_py())
-        if c1 == c2:
-            return bucket_pairs(group)
-        chunk = group.column("chunk").to_numpy()
-        left = np.nonzero(chunk == c1)[0]
-        right = np.nonzero(chunk == c2)[0]
-        if len(left) == 0 or len(right) == 0:
-            return _empty_pairs(ids_col.type)
-        sig = group.column("simhash").to_numpy().astype(np.uint64)
-        ii = np.repeat(left, len(right))
-        jj = np.tile(right, len(left))
-        ham = _popcount64(np.bitwise_xor(sig[ii], sig[jj])).astype(np.int64)
-        keep = ham <= max_hamming
-        if not keep.any():
-            return _empty_pairs(ids_col.type)
-        ii, jj, ham = ii[keep], jj[keep], ham[keep]
-        if isinstance(ids_col, pa.ChunkedArray):
-            ids_col = ids_col.combine_chunks()
-        ids = np.asarray(ids_col.to_pylist(), dtype=object)
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        a[swap], b[swap] = b[swap], a[swap]
+    # hash every (band, bval, c1, c2) bucket onto a bounded partition key:
+    # the pair-generation shuffle moves the SAME rows either way, but the
+    # downstream map_groups then runs once per PARTITION (n_partitions
+    # tasks) instead of once per bucket (millions of Python dispatches)
+    _K1 = np.uint64(0x9E3779B97F4A7C15)
+    _K2 = np.uint64(0xBF58476D1CE4E5B9)
+    _K3 = np.uint64(0x94D049BB133111EB)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pkey", pa.array([], pa.int64()))
+        h = (
+            batch.column("bval").to_numpy().astype(np.uint64)
+            ^ (batch.column("band").to_numpy().astype(np.uint64) * _K1)
+            ^ (batch.column("c1").to_numpy().astype(np.uint64) * _K2)
+            ^ (batch.column("c2").to_numpy().astype(np.uint64) * _K3)
+        )
+        h = (h ^ (h >> np.uint64(30))) * _K2
+        h = (h ^ (h >> np.uint64(27))) * _K3
+        h ^= h >> np.uint64(31)
+        return batch.append_column(
+            "pkey", pa.array((h % np.uint64(n_partitions)).astype(np.int64))
+        )
+
+    def final_dedup(group: pa.Table) -> pa.Table:
+        # a pair found in several bands dedupes here, vectorized via
+        # Arrow's C++ group_by inside ONE task per dedup partition —
+        # Ray's groupby(...).min() costs a dispatch per distinct pair
+        # (measured 18 s for 100k pairs; this shape is ~ms). The hamming
+        # value is identical across a pair's duplicates, so min == any.
+        g = (
+            group.select(["doc_a", "doc_b", "hamming"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([("hamming", "min")])
+        )
+        # name-keyed (not positional) so a future column reorder upstream
+        # fails loudly instead of silently mislabeling
         return pa.table(
             {
-                "doc_a": pa.array(a.tolist(), ids_col.type),
-                "doc_b": pa.array(b.tolist(), ids_col.type),
-                "hamming": pa.array(ham),
+                out_a: g.column("doc_a"),
+                out_b: g.column("doc_b"),
+                "hamming": g.column("hamming_min"),
             }
         )
 
-    pairs = (
+    return (
         tagged.map_batches(block_stage, batch_format="pyarrow")
-        .groupby(["band", "bval", "c1", "c2"])
-        .map_groups(block_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(first_of_pair, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+        .groupby("dk")
+        .map_groups(final_dedup, batch_format="pyarrow")
     )
-    if (out_a, out_b) != ("doc_a", "doc_b"):
-        # name-keyed (not positional) so a future column reorder upstream
-        # fails loudly instead of silently mislabeling
-        def rename(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    out_a: batch.column("doc_a"),
-                    out_b: batch.column("doc_b"),
-                    "hamming": batch.column("hamming"),
-                }
-            )
-
-        pairs = pairs.map_batches(rename, batch_format="pyarrow")
-    return pairs
 
 
 def simhash_near_dup_pairs(
