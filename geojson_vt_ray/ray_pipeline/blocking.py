@@ -131,6 +131,54 @@ def replicate_all(nc: np.ndarray):
     return idx, chunk
 
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX3 = np.uint64(0x94D049BB133111EB)
+
+
+def mix_to_partitions(arrays, n_partitions: int) -> np.ndarray:
+    """Mix one or more aligned int arrays into a BOUNDED partition id
+    (int64 in [0, n_partitions)) — the dispatch-bounding key every
+    formerly-per-distinct-key groupby in this repo hashes through, so the
+    downstream ``map_groups`` runs once per PARTITION (n_partitions Python
+    dispatches) instead of once per distinct key (millions).
+
+    splitmix64-style finalizer over the xor of per-column products; only
+    balance depends on the mix quality — correctness never does, because
+    every consumer re-groups on the full key vectorized inside the
+    partition task."""
+    if not isinstance(arrays, (tuple, list)):
+        arrays = (arrays,)
+    h = np.zeros(len(arrays[0]), dtype=np.uint64)
+    for i, a in enumerate(arrays):
+        h ^= (np.asarray(a).astype(np.uint64) + np.uint64(i)) * _MIX1
+    h = (h ^ (h >> np.uint64(30))) * _MIX2
+    h = (h ^ (h >> np.uint64(27))) * _MIX3
+    h ^= h >> np.uint64(31)
+    return (h % np.uint64(n_partitions)).astype(np.int64)
+
+
+def lexsort_segments(arrays):
+    """Sort rows by the given key arrays (last array = primary, numpy
+    lexsort convention NOT used — pass keys major-first) and return
+    ``(order, starts, ends)`` where ``starts[i]:ends[i]`` is the i-th
+    equal-key segment in the sorted order. The vectorized replacement for
+    a per-distinct-key groupby inside one bounded partition task."""
+    arrays = [np.asarray(a) for a in arrays]
+    order = np.lexsort(tuple(reversed(arrays)))
+    n = len(order)
+    if n == 0:
+        return order, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    new_seg = np.zeros(n, dtype=bool)
+    new_seg[0] = True
+    for a in arrays:
+        s = a[order]
+        new_seg[1:] |= s[1:] != s[:-1]
+    starts = np.flatnonzero(new_seg)
+    ends = np.r_[starts[1:], n]
+    return order, starts, ends
+
+
 def scan_monsters(keyed_ds, key_cols: list[str], cap: int) -> dict:
     """The shared monster scan: group the (small, key-only) dataset by
     ``key_cols``, keep groups above ``cap``, and return the

@@ -214,25 +214,53 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
 
 # --------------------------------------------------------------- exact dedup
 
-def exact_dedup_groups(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+def exact_dedup_groups(
+    docs: "ray.data.Dataset", n_partitions: int = 256
+) -> "ray.data.Dataset":
     """Duplicate groups by exact text content: (text_hash, n_dups, min doc_id).
 
     Only (hash, doc_id) pairs shuffle; text bodies never leave the first
-    stage.
-    """
+    stage. Dispatch is BOUNDED: hashes route to ``n_partitions`` partitions
+    (pkey = low md5 bytes mod P — already uniform, no re-mix needed) and the
+    count/min per distinct hash runs vectorized via Arrow's C++ ``group_by``
+    inside ONE task per partition. The former
+    ``groupby("text_hash").aggregate(Count, Min)`` paid a Python dispatch per
+    DISTINCT HASH — at web scale that is one dispatch per unique document
+    (measured 58 s for a mere 262k-key count; see BASELINE.md dispatch
+    audit)."""
 
     def hash_stage(batch: pa.Table) -> pa.Table:
-        hashes = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        texts = batch.column("text").to_pylist()
+        hashes = []
+        pkeys = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            d = hashlib.md5(t.encode()).digest()
+            hashes.append(d.hex())
+            pkeys[i] = int.from_bytes(d[8:], "little") % n_partitions
         return pa.table(
-            {"text_hash": pa.array(hashes, pa.string()), "doc_id": batch.column("doc_id")}
+            {
+                "text_hash": pa.array(hashes, pa.string()),
+                "doc_id": batch.column("doc_id"),
+                "pkey": pa.array(pkeys),
+            }
         )
 
-    from ray.data.aggregate import Count, Min
+    def partition_groups(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["text_hash", "doc_id"])
+            .group_by(["text_hash"])
+            .aggregate([([], "count_all"), ("doc_id", "min")])
+        )
+        return pa.table(
+            {
+                "text_hash": agg.column("text_hash"),
+                "n_dups": agg.column("count_all"),
+                "keep_doc_id": agg.column("doc_id_min"),
+            }
+        )
 
     pairs = docs.map_batches(hash_stage, batch_format="pyarrow")
-    return pairs.groupby("text_hash").aggregate(
-        Count(alias_name="n_dups"), Min("doc_id", alias_name="keep_doc_id")
-    )
+    return pairs.groupby("pkey").map_groups(partition_groups, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------- MinHash-LSH
@@ -340,6 +368,7 @@ def minhash_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     bucket_cap: int = 4096,
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs (doc_a < doc_b) from LSH buckets,
     deduplicated across bands.
@@ -350,7 +379,17 @@ def minhash_candidate_pairs(
     unordered chunk-pair block, and each
     block task emits at most ~cap² candidates; a pair still surfaces
     exactly once per band, so the n_bands counts are unchanged (pinned
-    by the degenerate-corpus equality test)."""
+    by the degenerate-corpus equality test).
+
+    Dispatch is BOUNDED (the `hamming_near_dup_pairs` shape): band buckets
+    hash onto ``n_partitions`` partitions and pair generation runs
+    lexsort + per-segment numpy inside ONE task per partition; the
+    cross-band dedup/count likewise groups on a bounded pair-hash
+    partition and counts via Arrow's C++ ``group_by`` inside each task.
+    At 10⁹ docs both former groupbys (per-bucket ``map_groups``, per-pair
+    ``Count``) paid a Python dispatch per DISTINCT KEY — the measured
+    wall (117 s / 2M rows, BASELINE.md dispatch audit) arrives long
+    before 100 TB."""
     # pin the small (band, band_hash, doc_id) rows so the bucket-size
     # scan doesn't recompute the shingle/minhash stage
     band_rows = minhash_band_rows(docs, n_perm, bands, shingle_k).materialize()
@@ -386,42 +425,108 @@ def minhash_candidate_pairs(
             .append_column("chunk", pa.array(ch.astype(np.int32)))
         )
 
+    from .blocking import lexsort_segments, mix_to_partitions
+
     _EMPTY_CAND = pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "dk": pa.array([], pa.int64()),
+        }
     )
 
-    def block_pairs(g: pa.Table) -> pa.Table:
-        if g.num_rows < 2:
-            return _EMPTY_CAND
-        c1 = int(g.column("c1")[0].as_py())
-        c2 = int(g.column("c2")[0].as_py())
-        doc = g.column("doc_id").to_numpy()
-        if c1 == c2:
-            ids = np.sort(doc)
-            ia, ib = np.triu_indices(len(ids), k=1)
-            a, b = ids[ia], ids[ib]
-        else:
-            chunk = g.column("chunk").to_numpy()
-            left = doc[chunk == c1]
-            right = doc[chunk == c2]
-            if len(left) == 0 or len(right) == 0:
-                return _EMPTY_CAND
-            a = np.repeat(left, len(right))
-            b = np.tile(right, len(left))
-            a, b = np.minimum(a, b), np.maximum(a, b)
-        return pa.table(
-            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pkey", pa.array([], pa.int64()))
+        return batch.append_column(
+            "pkey",
+            pa.array(
+                mix_to_partitions(
+                    (
+                        batch.column("band").to_numpy(),
+                        batch.column("band_hash").to_numpy(),
+                        batch.column("c1").to_numpy(),
+                        batch.column("c2").to_numpy(),
+                    ),
+                    n_partitions,
+                )
+            ),
         )
 
-    pairs = (
-        band_rows.map_batches(block_stage, batch_format="pyarrow")
-        .groupby(["band", "band_hash", "c1", "c2"])
-        .map_groups(block_pairs, batch_format="pyarrow")
-    )
-    # dedup identical pairs found in multiple bands
-    from ray.data.aggregate import Count
+    def partition_pairs(g: pa.Table) -> pa.Table:
+        """Every (band, band_hash, c1, c2) bucket hashed into this
+        partition, pair-generated in ONE task — per-bucket work is a tiny
+        numpy kernel over a sorted segment (in-process loop, no Ray
+        dispatch per bucket)."""
+        if g.num_rows < 2:
+            return _EMPTY_CAND
+        band = g.column("band").to_numpy()
+        bh = g.column("band_hash").to_numpy()
+        c1 = g.column("c1").to_numpy()
+        c2 = g.column("c2").to_numpy()
+        chunk = g.column("chunk").to_numpy()
+        doc = g.column("doc_id").to_numpy()
+        order, starts, ends = lexsort_segments((band, bh, c1, c2))
+        band, c1, c2, chunk, doc = (
+            a[order] for a in (band, c1, c2, chunk, doc)
+        )
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            seg_doc = doc[s:e]
+            if c1[s] == c2[s]:
+                ids = np.sort(seg_doc)
+                ia, ib = np.triu_indices(len(ids), k=1)
+                a, b = ids[ia], ids[ib]
+            else:
+                seg_chunk = chunk[s:e]
+                left = seg_doc[seg_chunk == c1[s]]
+                right = seg_doc[seg_chunk == c2[s]]
+                if len(left) == 0 or len(right) == 0:
+                    continue
+                a = np.repeat(left, len(right))
+                b = np.tile(right, len(left))
+                a, b = np.minimum(a, b), np.maximum(a, b)
+            out_a.append(a)
+            out_b.append(b)
+        if not out_a:
+            return _EMPTY_CAND
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                # dedup partition key: pure function of the pair, so every
+                # band's duplicate of the same pair meets in one partition
+                "dk": pa.array(mix_to_partitions((a, b), n_partitions)),
+            }
+        )
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
+    def count_bands(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["doc_a", "doc_b"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all")])
+        )
+        return pa.table(
+            {
+                "doc_a": agg.column("doc_a"),
+                "doc_b": agg.column("doc_b"),
+                "n_bands": agg.column("count_all"),
+            }
+        )
+
+    return (
+        band_rows.map_batches(block_stage, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+        .groupby("dk")
+        .map_groups(count_bands, batch_format="pyarrow")
+    )
 
 
 def verify_jaccard_distributed(
@@ -430,42 +535,55 @@ def verify_jaccard_distributed(
     threshold: float = 0.7,
     shingle_k: int = 3,
     posting_cap: int = 4096,
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Exact-Jaccard verification of LSH candidate pairs with NOTHING on the
     driver — the scale path when a low-threshold run emits millions of
     candidates (`verify_jaccard` below is the small-set driver-side twin).
 
-    1. semi-join the docs table to the candidate doc ids (one
-       ``groupby(doc_id)`` co-partition — no broadcast id set, candidate
-       texts shuffle once);
+    1. semi-join the docs table to the candidate doc ids — both sides hash
+       ``doc_id`` onto a BOUNDED partition key (no broadcast id set,
+       candidate texts shuffle once) and the membership test is a
+       vectorized ``np.isin`` inside one task per partition;
     2. run the exact inverted-index Jaccard (`ngram_jaccard_pairs`, with its
        posting-list skew guard) over just the candidate docs;
-    3. inner-join the exact pairs back to the candidate pair set with one
-       ``groupby(doc_a, doc_b)`` co-partition.
+    3. inner-join the exact pairs back to the candidate pair set — both
+       sides hash ``(doc_a, doc_b)`` onto a bounded partition key, sorted-
+       segment membership inside one task per partition.
+
+    Both joins formerly grouped on the raw keys (per-distinct-doc /
+    per-distinct-pair Python dispatch — measured ~18 s per 100k keys,
+    BASELINE.md dispatch audit); at the candidate volumes this function
+    exists for, its own joins dominated.
 
     Returns (doc_a, doc_b, jaccard) rows with jaccard >= threshold.
     ``candidate_pairs`` is a Dataset with int64 doc_a < doc_b columns
     (e.g. `minhash_candidate_pairs` output).
     """
+    from .blocking import lexsort_segments, mix_to_partitions
 
     def pair_ids(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy()
         b = batch.column("doc_b").to_numpy()
+        ids = np.concatenate([a, b])
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate([a, b])),
+                "doc_id": pa.array(ids),
                 "text": pa.array([""] * (len(a) + len(b)), pa.string()),
                 "is_need": pa.array(np.ones(len(a) + len(b), dtype=np.int8)),
+                "pk": pa.array(mix_to_partitions(ids, n_partitions)),
             }
         )
 
     def doc_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ids = batch.column("doc_id").to_numpy()
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "text": batch.column("text").cast(pa.string()),
                 "is_need": pa.array(np.zeros(n, dtype=np.int8)),
+                "pk": pa.array(mix_to_partitions(ids, n_partitions)),
             }
         )
 
@@ -474,22 +592,27 @@ def verify_jaccard_distributed(
     )
 
     def semi_join(g: pa.Table) -> pa.Table:
+        """All doc ids hashed into this partition, membership-tested in ONE
+        vectorized pass (doc_id is unique in the docs table, so no
+        per-segment dedup is needed)."""
         need = g.column("is_need").to_numpy()
-        if not need.any() or need.all():
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
-            )
-        i = int(np.nonzero(need == 0)[0][0])
+        ids = g.column("doc_id").to_numpy()
+        keep = (need == 0) & np.isin(ids, ids[need == 1])
+        mask = pa.array(keep)
         return pa.table(
             {
-                "doc_id": g.column("doc_id").slice(i, 1),
-                "text": g.column("text").slice(i, 1),
+                "doc_id": g.column("doc_id").filter(mask),
+                "text": g.column("text").filter(mask),
             }
         )
 
-    cand_docs = tagged.groupby("doc_id").map_groups(semi_join, batch_format="pyarrow")
+    cand_docs = tagged.groupby("pk").map_groups(semi_join, batch_format="pyarrow")
     exact = ngram_jaccard_pairs(
-        cand_docs, threshold=threshold, shingle_k=shingle_k, posting_cap=posting_cap
+        cand_docs,
+        threshold=threshold,
+        shingle_k=shingle_k,
+        posting_cap=posting_cap,
+        n_partitions=n_partitions,
     )
 
     def exact_rows(batch: pa.Table) -> pa.Table:
@@ -500,17 +623,29 @@ def verify_jaccard_distributed(
                 "doc_b": batch.column("doc_b"),
                 "jaccard": batch.column("jaccard"),
                 "is_cand": pa.array(np.zeros(n, dtype=np.int8)),
+                "pk": pa.array(
+                    mix_to_partitions(
+                        (
+                            batch.column("doc_a").to_numpy(),
+                            batch.column("doc_b").to_numpy(),
+                        ),
+                        n_partitions,
+                    )
+                ),
             }
         )
 
     def cand_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        a = batch.column("doc_a").to_numpy().astype(np.int64)
+        b = batch.column("doc_b").to_numpy().astype(np.int64)
         return pa.table(
             {
-                "doc_a": batch.column("doc_a").cast(pa.int64()),
-                "doc_b": batch.column("doc_b").cast(pa.int64()),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
                 "jaccard": pa.array(np.zeros(n, dtype=np.float64)),
                 "is_cand": pa.array(np.ones(n, dtype=np.int8)),
+                "pk": pa.array(mix_to_partitions((a, b), n_partitions)),
             }
         )
 
@@ -519,8 +654,10 @@ def verify_jaccard_distributed(
     )
 
     def keep_candidates(g: pa.Table) -> pa.Table:
-        cand = g.column("is_cand").to_numpy()
-        if not cand.any() or cand.all():
+        """All pair keys hashed into this partition: sorted-segment inner
+        join — keep an exact row iff its (doc_a, doc_b) segment also holds
+        a candidate row."""
+        if g.num_rows == 0:
             return pa.table(
                 {
                     "doc_a": pa.array([], pa.int64()),
@@ -528,18 +665,26 @@ def verify_jaccard_distributed(
                     "jaccard": pa.array([], pa.float64()),
                 }
             )
-        i = int(np.nonzero(cand == 0)[0][0])
+        a = g.column("doc_a").to_numpy()
+        b = g.column("doc_b").to_numpy()
+        cand = g.column("is_cand").to_numpy()
+        order, starts, ends = lexsort_segments((a, b))
+        cand_sorted = cand[order]
+        seg_has_cand = np.add.reduceat(cand_sorted.astype(np.int64), starts) > 0
+        seg_id = np.zeros(len(order), dtype=np.int64)
+        seg_id[starts] = 1
+        seg_id = np.cumsum(seg_id) - 1
+        keep_sorted = (cand_sorted == 0) & seg_has_cand[seg_id]
+        keep_idx = pa.array(order[keep_sorted])
         return pa.table(
             {
-                "doc_a": g.column("doc_a").slice(i, 1),
-                "doc_b": g.column("doc_b").slice(i, 1),
-                "jaccard": g.column("jaccard").slice(i, 1),
+                "doc_a": g.column("doc_a").take(keep_idx),
+                "doc_b": g.column("doc_b").take(keep_idx),
+                "jaccard": g.column("jaccard").take(keep_idx),
             }
         )
 
-    return joined.groupby(["doc_a", "doc_b"]).map_groups(
-        keep_candidates, batch_format="pyarrow"
-    )
+    return joined.groupby("pk").map_groups(keep_candidates, batch_format="pyarrow")
 
 
 def verify_jaccard(
@@ -582,17 +727,25 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     posting_cap: int = 4096,
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index —
-    no driver materialization, no all-pairs scan.
+    no driver materialization, no all-pairs scan, BOUNDED dispatch (both
+    groupbys below hash their unbounded keys — shingles, pair ids — onto
+    ``n_partitions`` partitions and run vectorized inside one task each;
+    see BASELINE.md's dispatch audit for why per-distinct-key grouping
+    collapses at ≫10⁶ keys).
 
     1. per-doc distinct shingle hashes → (shingle, doc_id, set_size) rows;
-    2. ``groupby(shingle)`` emits candidate pairs per posting list (any pair
-       with Jaccard > 0 shares ≥1 shingle, so this generation is exhaustive);
-       a size-ratio prune (J ≤ min/max of the set sizes) drops hopeless pairs
-       before they shuffle;
-    3. ``groupby(doc_a, doc_b)`` counts shared shingles c; since every shared
-       shingle contributes exactly one bucket, J = c / (|A|+|B|-c) exactly.
+    2. posting lists co-locate by a bounded shingle-hash partition key and
+       emit candidate pairs per sorted segment (any pair with Jaccard > 0
+       shares ≥1 shingle, so this generation is exhaustive); a size-ratio
+       prune (J ≤ min/max of the set sizes) drops hopeless pairs before
+       they shuffle;
+    3. pairs co-locate by a bounded pair-hash partition key; shared-shingle
+       counts c come from Arrow C++ ``group_by`` per partition; since every
+       shared shingle contributes exactly one posting-list meeting,
+       J = c / (|A|+|B|-c) exactly.
 
     Skew guard: step-2 volume is Σ |posting|², and a stopword shingle in
     natural text makes one posting list ~n. Posting lists above
@@ -655,93 +808,135 @@ def ngram_jaccard_pairs(
             .append_column("chunk", pa.array(ch.astype(np.int32)))
         )
 
+    from .blocking import lexsort_segments, mix_to_partitions
+
     _EMPTY_PAIRS = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
             "doc_b": pa.array([], pa.int64()),
             "size_a": pa.array([], pa.int64()),
             "size_b": pa.array([], pa.int64()),
+            "dk": pa.array([], pa.int64()),
         }
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("pkey", pa.array([], pa.int64()))
+        return batch.append_column(
+            "pkey",
+            pa.array(
+                mix_to_partitions(
+                    (
+                        batch.column("shingle").to_numpy(),
+                        batch.column("c1").to_numpy(),
+                        batch.column("c2").to_numpy(),
+                    ),
+                    n_partitions,
+                )
+            ),
+        )
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        """Every (shingle, c1, c2) posting list hashed into this partition,
+        pair-generated in ONE task — per-posting work is a small numpy
+        kernel over a sorted segment (in-process loop, no Ray dispatch per
+        posting list)."""
         if group.num_rows < 2:
             return _EMPTY_PAIRS
-        c1 = int(group.column("c1")[0].as_py())
-        c2 = int(group.column("c2")[0].as_py())
+        shingle = group.column("shingle").to_numpy()
+        c1 = group.column("c1").to_numpy()
+        c2 = group.column("c2").to_numpy()
+        chunk = group.column("chunk").to_numpy()
         ids = group.column("doc_id").to_numpy()
         sizes = group.column("set_size").to_numpy()
-        if c1 == c2:
-            order = np.argsort(ids, kind="stable")
-            ids = ids[order]
-            sizes = sizes[order]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            a, b = ids[ia], ids[ib]
-            sa, sb = sizes[ia], sizes[ib]
-        else:
-            chunk = group.column("chunk").to_numpy()
-            lm = chunk == c1
-            rm = chunk == c2
-            if not lm.any() or not rm.any():
-                return _EMPTY_PAIRS
-            li, ri = ids[lm], ids[rm]
-            ls, rs = sizes[lm], sizes[rm]
-            a = np.repeat(li, len(ri))
-            b = np.tile(ri, len(li))
-            sa = np.repeat(ls, len(ri))
-            sb = np.tile(rs, len(li))
-            swap = a > b
-            a2 = np.where(swap, b, a)
-            b2 = np.where(swap, a, b)
-            sa2 = np.where(swap, sb, sa)
-            sb2 = np.where(swap, sa, sb)
-            a, b, sa, sb = a2, b2, sa2, sb2
-        # J <= min(|A|,|B|)/max(|A|,|B|): prune pairs that cannot reach t
-        # (epsilon-loosened — survivors are re-checked exactly in finalize)
-        keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+        order, starts, ends = lexsort_segments((shingle, c1, c2))
+        c1, c2, chunk, ids, sizes = (
+            a[order] for a in (c1, c2, chunk, ids, sizes)
+        )
+        out: list[tuple] = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sid = ids[s:e]
+            ssz = sizes[s:e]
+            if c1[s] == c2[s]:
+                o = np.argsort(sid, kind="stable")
+                sid, ssz = sid[o], ssz[o]
+                ia, ib = np.triu_indices(len(sid), k=1)
+                a, b = sid[ia], sid[ib]
+                sa, sb = ssz[ia], ssz[ib]
+            else:
+                seg_chunk = chunk[s:e]
+                lm = seg_chunk == c1[s]
+                rm = seg_chunk == c2[s]
+                if not lm.any() or not rm.any():
+                    continue
+                li, ri = sid[lm], sid[rm]
+                ls, rs = ssz[lm], ssz[rm]
+                a = np.repeat(li, len(ri))
+                b = np.tile(ri, len(li))
+                sa = np.repeat(ls, len(ri))
+                sb = np.tile(rs, len(li))
+                swap = a > b
+                a2 = np.where(swap, b, a)
+                b2 = np.where(swap, a, b)
+                sa2 = np.where(swap, sb, sa)
+                sb2 = np.where(swap, sa, sb)
+                a, b, sa, sb = a2, b2, sa2, sb2
+            # J <= min(|A|,|B|)/max(|A|,|B|): prune pairs that cannot reach
+            # t (epsilon-loosened — survivors re-check exactly in finalize)
+            keep = np.minimum(sa, sb) >= threshold * np.maximum(sa, sb) - 1e-9
+            if keep.any():
+                out.append((a[keep], b[keep], sa[keep], sb[keep]))
+        if not out:
+            return _EMPTY_PAIRS
+        a = np.concatenate([o[0] for o in out])
+        b = np.concatenate([o[1] for o in out])
+        sa = np.concatenate([o[2] for o in out])
+        sb = np.concatenate([o[3] for o in out])
         return pa.table(
             {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "size_a": pa.array(sa[keep]),
-                "size_b": pa.array(sb[keep]),
+                "doc_a": pa.array(a),
+                "doc_b": pa.array(b),
+                "size_a": pa.array(sa),
+                "size_b": pa.array(sb),
+                # all duplicates of one pair (one per shared shingle) meet
+                # in a single count partition
+                "dk": pa.array(mix_to_partitions((a, b), n_partitions)),
             }
         )
 
-    pair_counts = (
-        postings.map_batches(block_stage, batch_format="pyarrow")
-        .groupby(["shingle", "c1", "c2"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(
-            lambda g: pa.table(
-                {
-                    "doc_a": g.column("doc_a").slice(0, 1),
-                    "doc_b": g.column("doc_b").slice(0, 1),
-                    "size_a": g.column("size_a").slice(0, 1),
-                    "size_b": g.column("size_b").slice(0, 1),
-                    "c": pa.array([g.num_rows], pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
+    def count_and_finalize(g: pa.Table) -> pa.Table:
+        """Shared-shingle count per pair via Arrow C++ group_by inside ONE
+        task per pair partition; J = c / (|A|+|B|-c) exactly (sizes are
+        identical across a pair's duplicates, so min == any)."""
+        agg = (
+            g.select(["doc_a", "doc_b", "size_a", "size_b"])
+            .group_by(["doc_a", "doc_b"])
+            .aggregate([([], "count_all"), ("size_a", "min"), ("size_b", "min")])
         )
-    )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        c = batch.column("c").to_numpy()
-        sa = batch.column("size_a").to_numpy()
-        sb = batch.column("size_b").to_numpy()
+        c = agg.column("count_all").to_numpy()
+        sa = agg.column("size_a_min").to_numpy()
+        sb = agg.column("size_b_min").to_numpy()
         j = c / (sa + sb - c)
-        keep = j >= threshold
+        keep = pa.array(j >= threshold)
         return pa.table(
             {
-                "doc_a": batch.column("doc_a").filter(pa.array(keep)),
-                "doc_b": batch.column("doc_b").filter(pa.array(keep)),
-                "jaccard": pa.array(j[keep], pa.float64()),
+                "doc_a": agg.column("doc_a").filter(keep),
+                "doc_b": agg.column("doc_b").filter(keep),
+                "jaccard": pa.array(j[j >= threshold], pa.float64()),
             }
         )
 
-    return pair_counts.map_batches(finalize, batch_format="pyarrow")
+    return (
+        postings.map_batches(block_stage, batch_format="pyarrow")
+        .map_batches(add_pkey, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+        .groupby("dk")
+        .map_groups(count_and_finalize, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------- BPE-ish tokenization
