@@ -60,14 +60,19 @@ def sessionize(
     gap_us: int = 1_800_000_000,
     user_cap: int = 1_000_000,
     salt_window_us: int = 86_400_000_000,
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Gap-based sessionization: one output row per (user, session), where a
     session breaks whenever consecutive events of a user are more than
     ``gap_us`` apart (classic 30-minute web-session semantics — an operator
     Ray Data has no native window for).
 
-    Shape: project to (user_id, epoch_us) in a map stage, then ONE
-    ``groupby(user_id)`` shuffle with a vectorized diff/cumsum per group.
+    Shape: project to (user_id, epoch_us) in a map stage, then ONE shuffle
+    on a BOUNDED partition key (hash of (user_id, salt) onto
+    ``n_partitions``) with session detection vectorized across ALL of a
+    partition's users in one task (lexsort + segment-boundary diff/cumsum)
+    — grouping on raw user_id would pay a Python dispatch per distinct
+    user (BASELINE.md dispatch audit: ~30× slower at 262k keys).
 
     Skew guard (hot users): a user with more than ``user_cap`` events salts
     into (user, time-bucket) groups of width ``salt_window_us`` (default
@@ -100,17 +105,14 @@ def sessionize(
 
     import ray as _ray
 
-    hot_tbl = (
-        projected.groupby("user_id")
-        .count()
-        .filter(lambda r: r["count()"] > user_cap)
-        .to_pandas()
-    )
+    from .blocking import scan_monsters
+
+    # over-cap scans share the bounded monster scan (two-level vectorized
+    # count — Ray's groupby().count() dispatches per distinct user)
+    hot_counts = scan_monsters(projected, ["user_id"], user_cap)
     # per-user salt window: day buckets by default; users over-cap inside a
     # single day bucket drop to a finer window (never below the gap)
-    hot_win: dict[int, int] = (
-        {int(u): int(salt_window_us) for u in hot_tbl["user_id"]} if len(hot_tbl) else {}
-    )
+    hot_win: dict[int, int] = {int(u): int(salt_window_us) for u in hot_counts}
     if hot_win:
         fine = max(int(gap_us), int(salt_window_us) // 64)
         if fine < salt_window_us:
@@ -128,16 +130,16 @@ def sessionize(
                     }
                 )
 
-            over_tbl = (
-                projected.map_batches(tag_hot, batch_format="pyarrow")
-                .groupby(["user_id", "salt"])
-                .count()
-                .filter(lambda r: r["count()"] > user_cap)
-                .to_pandas()
+            over = scan_monsters(
+                projected.map_batches(tag_hot, batch_format="pyarrow"),
+                ["user_id", "salt"],
+                user_cap,
             )
-            for u in set(int(v) for v in over_tbl["user_id"]) if len(over_tbl) else set():
+            for u in {int(k[0]) for k in over}:
                 hot_win[u] = fine
     hot_ref = _ray.put(hot_win)
+
+    from .blocking import mix_to_partitions
 
     def add_salt(batch: pa.Table) -> pa.Table:
         hw = _ray.get(hot_ref)
@@ -152,12 +154,14 @@ def sessionize(
         else:
             is_hot = np.zeros(len(uid), dtype=bool)
             salt = np.zeros(len(uid), dtype=np.int64)
+        salt = salt.astype(np.int64)
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
-                "salt": pa.array(salt.astype(np.int64)),
+                "salt": pa.array(salt),
                 "hot": pa.array(is_hot),
                 "us": batch.column("us"),
+                "pkey": pa.array(mix_to_partitions((uid, salt), n_partitions)),
             }
         )
 
@@ -169,29 +173,51 @@ def sessionize(
         "n_events": pa.int64(),
     }
 
-    def per_group(g: pa.Table) -> pa.Table:
-        us = np.sort(g.column("us").to_numpy())
-        new_session = np.concatenate(([True], np.diff(us) > gap_us))
-        starts = np.nonzero(new_session)[0]
-        ends = np.append(starts[1:], len(us)) - 1
-        uid = g.column("user_id")[0].as_py()
-        hot = bool(g.column("hot")[0].as_py())
-        n = len(starts)
+    def partition_sessions(g: pa.Table) -> pa.Table:
+        """Every (user, salt) group hashed into this partition, sessionized
+        in ONE vectorized pass: sort by (user, salt, ts), a session breaks
+        at each (user, salt) boundary or when the within-group time gap
+        exceeds gap_us; session ordinals restart per (user, salt) group."""
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    **{k: pa.array([], t) for k, t in _SESSION_SCHEMA.items()},
+                    "hot": pa.array([], pa.bool_()),
+                }
+            )
+        uid = g.column("user_id").to_numpy()
+        salt = g.column("salt").to_numpy()
+        us = g.column("us").to_numpy()
+        hot = g.column("hot").to_numpy()
+        order = np.lexsort((us, salt, uid))
+        uid, salt, us, hot = uid[order], salt[order], us[order], hot[order]
+        new_seg = np.zeros(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (uid[1:] != uid[:-1]) | (salt[1:] != salt[:-1])
+        new_session = new_seg | np.r_[True, np.diff(us) > gap_us]
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], n) - 1
+        m = len(starts)
+        # session ordinal within its (user, salt) group
+        seg_first = np.flatnonzero(new_seg[starts])
+        seg_id = np.cumsum(new_seg[starts]) - 1
+        session_id = np.arange(m, dtype=np.int64) - seg_first[seg_id] + 1
         return pa.table(
             {
-                "user_id": pa.array(np.full(n, uid, dtype=np.int64)),
-                "session_id": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "session_id": pa.array(session_id),
                 "session_start_us": pa.array(us[starts], pa.int64()),
                 "session_end_us": pa.array(us[ends], pa.int64()),
-                "n_events": pa.array(np.diff(np.append(starts, len(us))), pa.int64()),
-                "hot": pa.array(np.full(n, hot)),
+                "n_events": pa.array(np.diff(np.append(starts, n)), pa.int64()),
+                "hot": pa.array(hot[starts]),
             }
         )
 
     grouped = (
         projected.map_batches(add_salt, batch_format="pyarrow")
-        .groupby(["user_id", "salt"])
-        .map_groups(per_group, batch_format="pyarrow")
+        .groupby("pkey")
+        .map_groups(partition_sessions, batch_format="pyarrow")
     )
 
     def _sessions_table(cols: dict) -> pa.Table:
@@ -211,36 +237,49 @@ def sessionize(
             mask = batch.column("hot")
             if not keep_hot:
                 mask = pc.invert(mask)
-            return batch.filter(mask).drop_columns(["hot"])
+            out = batch.filter(mask).drop_columns(["hot"])
+            if keep_hot:
+                uid = out.column("user_id").to_numpy()
+                out = out.append_column(
+                    "pk", pa.array(mix_to_partitions(uid, n_partitions))
+                )
+            return out
 
         return fn
 
     cold = grouped.map_batches(split(False), batch_format="pyarrow")
 
-    def stitch(g: pa.Table) -> pa.Table:
+    def stitch_partition(g: pa.Table) -> pa.Table:
+        """Every hot user hashed into this partition, boundary-stitched in
+        ONE vectorized pass: sort sessions by (user, start); within a user,
+        salt buckets partition time so ends strictly increase with starts —
+        a merged run continues while the gap to the previous session's end
+        is ≤ gap_us, and a run's end is its last member's end."""
+        n = g.num_rows
+        if n == 0:
+            return _sessions_table({k: [] for k in _SESSION_SCHEMA})
+        uid = g.column("user_id").to_numpy()
         s = g.column("session_start_us").to_numpy()
         e = g.column("session_end_us").to_numpy()
         n_ev = g.column("n_events").to_numpy()
-        order = np.argsort(s, kind="stable")
-        s, e, n_ev = s[order], e[order], n_ev[order]
-        # merge consecutive bucket-level sessions across bucket edges
-        new = np.concatenate(([True], s[1:] - e[:-1] > gap_us))
-        grp = np.cumsum(new) - 1
-        m = int(grp[-1]) + 1 if len(grp) else 0
-        starts = s[new]
-        # within a merged run, ends strictly increase (salt buckets partition
-        # time), so each run's end is its last member — no accumulator init
-        # to bias (np.maximum.at over zeros clamps pre-epoch timestamps)
-        run_start_idx = np.nonzero(new)[0]
-        ends = e[np.append(run_start_idx[1:], len(e)) - 1]
-        counts = np.zeros(m, dtype=np.int64)
-        np.add.at(counts, grp, n_ev)
-        uid = int(g.column("user_id")[0].as_py())
+        order = np.lexsort((s, uid))
+        uid, s, e, n_ev = uid[order], s[order], e[order], n_ev[order]
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        new_run = new_user | np.r_[True, s[1:] - e[:-1] > gap_us]
+        run_idx = np.flatnonzero(new_run)
+        m = len(run_idx)
+        ends = e[np.append(run_idx[1:], n) - 1]
+        counts = np.add.reduceat(n_ev, run_idx)
+        user_first = np.flatnonzero(new_user[run_idx])
+        user_id_of_run = np.cumsum(new_user[run_idx]) - 1
+        session_id = np.arange(m, dtype=np.int64) - user_first[user_id_of_run] + 1
         return _sessions_table(
             {
-                "user_id": np.full(m, uid, dtype=np.int64),
-                "session_id": np.arange(1, m + 1, dtype=np.int64),
-                "session_start_us": starts,
+                "user_id": uid[run_idx].astype(np.int64),
+                "session_id": session_id,
+                "session_start_us": s[run_idx],
                 "session_end_us": ends,
                 "n_events": counts,
             }
@@ -248,8 +287,8 @@ def sessionize(
 
     hot_sessions = (
         grouped.map_batches(split(True), batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(stitch, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(stitch_partition, batch_format="pyarrow")
     )
     return cold.union(hot_sessions)
 
