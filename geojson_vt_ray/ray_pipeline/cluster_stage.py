@@ -250,6 +250,15 @@ _CASCADE_SCHEMA = {
     # original feature tags for singletons (JSON; "null" when absent),
     # "" for cluster rows — cluster tags derive from count + id
     "tags_json": pa.string(),
+    # drill-down linkage (exact cascade only; -1 in the grid variant):
+    # parent_cid = the cluster at the next-shallower zoom that absorbed
+    # this row (reference OFF_PARENT, set while level z-1 consumes level
+    # z); child_seq = this row's position in its parent's children as the
+    # reference enumerates them (tree.within order at the origin zoom) —
+    # together they make getChildren/getLeaves pure filters over the
+    # persisted cascade
+    "parent_cid": pa.int64(),
+    "child_seq": pa.int32(),
 }
 
 
@@ -299,27 +308,61 @@ def cluster_cascade_exact(
 
     def run(batch: pa.Table) -> pa.Table:
         from ..cluster import ClusterIndex
-        from ..cluster.index import OFF_ID, OFF_NUM
+        from ..cluster.index import OFF_ID, OFF_NUM, OFF_PARENT
 
         # deterministic input order (see cluster_tiles_exact): ascending pid
         batch = batch.take(pc.sort_indices(batch.column("pid")))
         pids = batch.column("pid").to_pylist()
         px = batch.column("px").to_numpy()
         py = batch.column("py").to_numpy()
+        # optional original-feature tags (JSON strings) ride through to the
+        # cascade's singleton rows, so getLeaves surfaces real properties
+        tags_in = (
+            [json.loads(t) if t else None for t in batch.column("tags_json").to_pylist()]
+            if "tags_json" in batch.column_names
+            else [None] * len(pids)
+        )
         feats = [
             {
                 "id": pids[i],
                 "type": "Point",
                 "geometry": [float(px[i]), float(py[i])],
-                "tags": None,
+                "tags": tags_in[i],
                 "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
             }
             for i in range(len(pids))
         ]
         index = ClusterIndex(options)
         index.initialize(feats)
-        out = {k: [] for k in _CASCADE_SCHEMA}
         stride = index.stride
+        n_pts = len(index.points)
+
+        # child ordinals: for every parent cluster, enumerate its children
+        # exactly as the reference getChildren does (tree.within at the
+        # origin zoom around the SEED row's coords, keep parent matches in
+        # traversal order) — persisting the ordinal makes the distributed
+        # getLeaves pagination bit-identical to the local walk
+        child_rank: dict[tuple[int, int], int] = {}
+        for z, tree in index.trees.items():
+            data = tree.flat_data
+            parent_ids = {
+                int(data[i + OFF_PARENT])
+                for i in range(0, len(data), stride)
+                if data[i + OFF_PARENT] != -1
+            }
+            for cid in parent_ids:
+                origin_zoom = (cid - n_pts) % 32
+                origin_id = (cid - n_pts) >> 5
+                x = data[origin_id * stride]
+                y = data[origin_id * stride + 1]
+                r = options.radius / (options.extent * math.pow(2, origin_zoom - 1))
+                seq = 0
+                for tid in tree.within(x, y, r):
+                    if data[tid * stride + OFF_PARENT] == cid:
+                        child_rank[(z, tid)] = seq
+                        seq += 1
+
+        out = {k: [] for k in _CASCADE_SCHEMA}
         for z in range(options.min_zoom, options.max_zoom + 2):
             data = index.trees[z].flat_data
             for i in range(0, len(data), stride):
@@ -340,6 +383,8 @@ def cluster_cascade_exact(
                     out["opy"].append(float(p["geometry"][1]))
                     out["tags_json"].append(json.dumps(p.get("tags")))
                 out["point_count"].append(int(data[i + OFF_NUM]))
+                out["parent_cid"].append(int(data[i + OFF_PARENT]))
+                out["child_seq"].append(child_rank.get((z, i // stride), -1))
         return _cascade_table(out)
 
     return points.repartition(1).map_batches(
@@ -383,6 +428,10 @@ def cluster_cascade_grid(
                 "opx": px,
                 "opy": py,
                 "tags_json": ["null"] * n,
+                # the grid variant carries no drill linkage (documented
+                # deviation — its cluster ids are synthetic labels)
+                "parent_cid": np.full(n, -1, dtype=np.int64),
+                "child_seq": np.full(n, -1, dtype=np.int32),
             }
         )
 
@@ -469,6 +518,8 @@ def cluster_cascade_grid(
                     out["opx"].append(opxs[i])
                     out["opy"].append(opys[i])
                     out["tags_json"].append(tjs[i].as_py())
+                out["parent_cid"].append(-1)
+                out["child_seq"].append(-1)
             return _cascade_table(out)
 
         level = (
@@ -624,7 +675,14 @@ def get_cluster_tile(
 
     rows = cascade.map_batches(filt, batch_format="pyarrow").take_all()
     if not rows:
-        return None
+        # the reference getTile returns a tile with an empty feature list
+        # whenever the zoom's tree exists (cluster-tile-index.ts:248-284) —
+        # zq is clamped into the cascade's zoom range above, so an empty
+        # range query is an EMPTY TILE, not a missing one
+        return {
+            "z": int(z), "x": x, "y": y,
+            "features": [], "transformed": True, "source": None,
+        }
 
     from ..cluster.index import _js_round as js_round
     from ..cluster.index import cluster_tags
@@ -653,3 +711,185 @@ def get_cluster_tile(
             f["id"] = fid
         features.append(f)
     return {"z": int(z), "x": x, "y": y, "features": features, "transformed": True, "source": None}
+
+
+# ------------------------------------------------ distributed drill-down APIs
+
+def cascade_num_points(
+    cascade: "ray.data.Dataset", options: Optional[ClusterOptions] = None
+) -> int:
+    """The original point count of a cascade — the cluster-id offset every
+    drill API needs (reference ids encode ``(index << 5) + zoom + n_points``,
+    `src/cluster-tile-index.ts:430`). One distributed partial-count pass over
+    the raw (maxZoom+1) level; no rows reach the driver."""
+    options = options or ClusterOptions()
+    raw_z = options.max_zoom + 1
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = int(pc.sum(pc.equal(batch.column("zoom"), raw_z)).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total = cascade.map_batches(partial, batch_format="pyarrow").sum("n")
+    return int(total or 0)
+
+
+def _origin_zoom_of(cluster_id: int, n_points: int) -> int:
+    return (cluster_id - n_points) % 32
+
+
+def _cascade_point_feature(row: dict) -> dict:
+    """Singleton cascade row → GeoJSON Feature (the shape
+    `kernels.deconvert.feature_to_geojson` produces for a source point).
+    Ids surface as the cascade's strings (same note as `get_cluster_tile`)."""
+    from ..kernels.project import unproject_x, unproject_y
+
+    out = {
+        "type": "Feature",
+        "geometry": {
+            "type": "Point",
+            "coordinates": [unproject_x(row["opx"]), unproject_y(row["opy"])],
+        },
+        "properties": json.loads(row["tags_json"]) if row["tags_json"] else None,
+    }
+    if row["point_id"]:
+        out["id"] = row["point_id"]
+    return out
+
+
+def _cascade_cluster_feature(row: dict) -> dict:
+    """Cluster cascade row → GeoJSON Feature (reference clusterToGeoJSON;
+    `map`/`reduce` extra properties are not carried by cascade rows — use
+    the exact local index for those)."""
+    from ..cluster.index import cluster_tags
+    from ..kernels.project import unproject_x, unproject_y
+
+    return {
+        "type": "Feature",
+        "id": int(row["cluster_id"]),
+        "properties": cluster_tags(int(row["cluster_id"]), int(row["point_count"])),
+        "geometry": {
+            "type": "Point",
+            "coordinates": [unproject_x(row["px"]), unproject_y(row["py"])],
+        },
+    }
+
+
+def _fetch_children_rows(
+    cascade: "ray.data.Dataset", cluster_ids: set, n_points: int
+) -> dict[int, list[dict]]:
+    """Children rows for a SET of clusters in one distributed scan: filter
+    on (zoom ∈ origin zooms, parent_cid ∈ ids) — vectorized np.isin per
+    batch, only matching rows reach the driver (bounded by the requested
+    clusters' child counts). Returns {cluster_id: rows sorted by child_seq}."""
+    cid_arr = np.fromiter(cluster_ids, dtype=np.int64, count=len(cluster_ids))
+    z_arr = np.unique((cid_arr - n_points) % 32)
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = np.isin(batch.column("zoom").to_numpy(), z_arr) & np.isin(
+            batch.column("parent_cid").to_numpy(), cid_arr
+        )
+        return batch.filter(pa.array(keep))
+
+    rows = cascade.map_batches(filt, batch_format="pyarrow").take_all()
+    out: dict[int, list[dict]] = {int(c): [] for c in cid_arr}
+    for r in rows:
+        # a parent's children live exactly at its origin zoom; the id-space
+        # makes (zoom, parent_cid) collisions across requested ids impossible
+        out[int(r["parent_cid"])].append(r)
+    for v in out.values():
+        v.sort(key=lambda r: r["child_seq"])
+    return out
+
+
+def get_cluster_children(
+    cascade: "ray.data.Dataset",
+    cluster_id: int,
+    n_points: int,
+    options: Optional[ClusterOptions] = None,
+) -> list[dict]:
+    """`getChildren(clusterId)` over a persisted exact cascade — reference
+    semantics (`src/cluster-tile-index.ts:198-213`): the rows at the
+    cluster's origin zoom whose ``parent_cid`` matches, in the reference's
+    enumeration order (persisted ``child_seq``). One distributed filter;
+    only the children reach the driver. Raises ValueError for unknown ids,
+    like the local `ClusterIndex.get_children`."""
+    kids = _fetch_children_rows(cascade, {int(cluster_id)}, n_points)[int(cluster_id)]
+    if not kids:
+        raise ValueError(f"No cluster with the specified id: {cluster_id}")
+    return [
+        _cascade_cluster_feature(r) if r["point_count"] > 1 else _cascade_point_feature(r)
+        for r in kids
+    ]
+
+
+def get_cluster_expansion_zoom(cluster_id: int, n_points: int) -> int:
+    """`getClusterExpansionZoom(clusterId)` — pure id arithmetic (the id
+    encodes its origin zoom), matching the local
+    `ClusterIndex.get_cluster_expansion_zoom`."""
+    return _origin_zoom_of(int(cluster_id), n_points)
+
+
+def get_cluster_leaves(
+    cascade: "ray.data.Dataset",
+    cluster_id: int,
+    n_points: int,
+    limit: int = 10,
+    offset: int = 0,
+    options: Optional[ClusterOptions] = None,
+) -> list[dict]:
+    """`getLeaves(clusterId, limit, offset)` over a persisted exact cascade —
+    the reference's depth-first paginated walk
+    (`src/cluster-tile-index.ts:215-240, 294-320`) with the same
+    skip-by-point_count subtree pruning, executed as BATCHED distributed
+    fetches: each round expands every cluster the walk still needs in ONE
+    cascade scan (`_fetch_children_rows`), so the number of distributed
+    queries is bounded by the walk's depth (≤ 32 zooms), not its fan-out,
+    and only rows inside the pagination window's subtrees ever reach the
+    driver. Leaf order and pagination are identical to the local
+    `ClusterIndex.get_leaves` (pinned by the parity test)."""
+    limit = limit or 10
+    offset = offset or 0
+    children_map: dict[int, list[dict]] = {}
+
+    def walk(cid: int, taken: int, skipped: int, missing: set, out: list):
+        """The reference _appendLeaves accounting over whatever children are
+        already fetched; a cluster child whose subtree intersects the
+        window but isn't fetched yet goes to ``missing`` and is accounted
+        exactly (its subtree holds point_count leaves, consumed in order),
+        so later siblings' windows stay correct while rounds proceed."""
+        for r in children_map[cid]:
+            if taken >= limit:
+                break
+            n_leaves = int(r["point_count"])
+            if n_leaves > 1:
+                if skipped + n_leaves <= offset:
+                    skipped += n_leaves  # prune: window is past this subtree
+                else:
+                    child = int(r["cluster_id"])
+                    if child in children_map:
+                        taken, skipped = walk(child, taken, skipped, missing, out)
+                    else:
+                        missing.add(child)
+                        skip_in = max(0, offset - skipped)
+                        take = min(n_leaves - skip_in, limit - taken)
+                        skipped += skip_in
+                        taken += take
+            elif skipped < offset:
+                skipped += 1
+            else:
+                out.append(r)
+                taken += 1
+        return taken, skipped
+
+    need = {int(cluster_id)}
+    while need:
+        children_map.update(_fetch_children_rows(cascade, need, n_points))
+        if not children_map[int(cluster_id)]:
+            raise ValueError(f"No cluster with the specified id: {cluster_id}")
+        missing: set = set()
+        rows: list[dict] = []
+        walk(int(cluster_id), 0, 0, missing, rows)
+        need = missing - set(children_map)
+        if not missing:
+            return [_cascade_point_feature(r) for r in rows]
+    return []

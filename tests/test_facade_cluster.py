@@ -418,3 +418,109 @@ def test_get_cluster_tile_matches_local(ray_session, fixtures):
         want = norm(index_plain.get_tile(z, tx, ty))
         got = norm(get_cluster_tile(cascade, z, tx, ty, options))
         assert got == want, (z, tx, ty)
+
+
+def test_distributed_drill_apis_match_local(ray_session, fixtures):
+    """getChildren / getLeaves / getClusterExpansionZoom over the persisted
+    cascade == the local ClusterIndex drill APIs on places.json (reference
+    cluster-tile-index.ts:198-240), including leaf pagination order and the
+    ValueError contract for unknown ids."""
+    import json as _json
+
+    import pytest as _pytest
+    import ray.data
+
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.kernels.project import project_x, project_y
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import (
+        cascade_num_points,
+        cluster_cascade_exact,
+        get_cluster_children,
+        get_cluster_expansion_zoom,
+        get_cluster_leaves,
+    )
+
+    places = fixtures("places.json")
+    rows = []
+    for i, f in enumerate(places["features"]):
+        if f["geometry"] is None or f["geometry"]["type"] != "Point":
+            continue
+        lng, lat = f["geometry"]["coordinates"][:2]
+        rows.append(
+            {
+                "pid": str(i),
+                "px": float(project_x(lng)),
+                "py": float(project_y(lat)),
+                "tags_json": _json.dumps(f.get("properties")),
+            }
+        )
+    rows.sort(key=lambda r: r["pid"])
+
+    options = ClusterOptions(max_zoom=6)
+    cascade = cluster_cascade_exact(ray.data.from_items(rows), options).materialize()
+
+    index = ClusterIndex(options)
+    index.initialize(
+        [
+            {
+                "id": r["pid"], "type": "Point",
+                "geometry": [r["px"], r["py"]],
+                "tags": _json.loads(r["tags_json"]),
+                "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+            }
+            for r in rows
+        ]
+    )
+    n_points = cascade_num_points(cascade, options)
+    assert n_points == len(index.points)
+
+    def norm_feature(f):
+        return (
+            str(f.get("id")),
+            _json.dumps(f.get("properties"), sort_keys=True),
+            round(f["geometry"]["coordinates"][0], 9),
+            round(f["geometry"]["coordinates"][1], 9),
+        )
+
+    # every cluster id at a few zooms: children + expansion zoom parity
+    from geojson_vt_ray.cluster.index import OFF_ID, OFF_NUM
+
+    checked = 0
+    for z in (0, 1, 2, 3):
+        data = index.trees[z].flat_data
+        for i in range(0, len(data), index.stride):
+            if data[i + OFF_NUM] <= 1:
+                continue
+            cid = int(data[i + OFF_ID])
+            want = [norm_feature(c) for c in index.get_children(cid)]
+            got = [
+                norm_feature(c)
+                for c in get_cluster_children(cascade, cid, n_points, options)
+            ]
+            assert got == want, (z, cid)
+            assert get_cluster_expansion_zoom(cid, n_points) == (
+                index.get_cluster_expansion_zoom(cid)
+            )
+            checked += 1
+    assert checked >= 10
+
+    # leaf pagination parity, including offsets that prune subtrees
+    big = max(
+        (
+            (int(data[i + OFF_NUM]), int(data[i + OFF_ID]))
+            for data in [index.trees[0].flat_data]
+            for i in range(0, len(data), index.stride)
+            if data[i + OFF_NUM] > 1
+        ),
+    )[1]
+    for limit, offset in [(10, 0), (10, 5), (5, 12), (3, 0), (100, 0), (1, 6)]:
+        want = [norm_feature(f) for f in index.get_leaves(big, limit, offset)]
+        got = [
+            norm_feature(f)
+            for f in get_cluster_leaves(cascade, big, n_points, limit, offset, options)
+        ]
+        assert got == want, (limit, offset)
+
+    with _pytest.raises(ValueError):
+        get_cluster_children(cascade, 12, n_points, options)
