@@ -911,12 +911,211 @@ def q_img_phash_near_dup(sf_dir: str):
     return phash_near_dup_pairs(_image_phash_rows(sf_dir), max_hamming=4)
 
 
+# ---- merged non-SQL driver entries ------------------------------------
+# The driver caps CORRECTNESS at 50 rows, so the 11 pytest-oracled
+# pipelines ride in 4 union queries (normalized schemas, a `kind`/`method`
+# discriminator column): every non-SQL pipeline still executes end-to-end
+# under the driver's rows-only check, and ALL registry entries now get a
+# driver row. Each constituent keeps its own standalone q_* function and
+# pytest oracle.
+
+def _norm_union(parts: list) -> Any:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def q_rect_pyramid_raster(sf_dir: str):
+    """Flagship tiling pipeline + raster↔vector round trip in one driver
+    row (non-SQL): `q_rect_pyramid`'s full z0..z6 pyramid stats and
+    `q_rect_raster_vectorize`'s rasterize→polygonize tiles, unioned as
+    (kind, z, x, y, m1..m3)."""
+
+    def pyr_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["pyramid"] * b.num_rows, pa.string()),
+                "z": b.column("z").cast(pa.int32()),
+                "x": b.column("x").cast(pa.int32()),
+                "y": b.column("y").cast(pa.int32()),
+                "m1": b.column("num_features").cast(pa.float64()),
+                "m2": b.column("num_points").cast(pa.float64()),
+                "m3": b.column("num_simplified").cast(pa.float64()),
+            }
+        )
+
+    def ras_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["raster"] * b.num_rows, pa.string()),
+                "z": b.column("z").cast(pa.int32()),
+                "x": b.column("x").cast(pa.int32()),
+                "y": b.column("y").cast(pa.int32()),
+                "m1": b.column("coverage").cast(pa.float64()),
+                "m2": b.column("num_rings").cast(pa.float64()),
+                "m3": b.column("num_vertices").cast(pa.float64()),
+            }
+        )
+
+    return _norm_union(
+        [
+            q_rect_pyramid(sf_dir).map_batches(pyr_rows, batch_format="pyarrow"),
+            q_rect_raster_vectorize(sf_dir).map_batches(ras_rows, batch_format="pyarrow"),
+        ]
+    )
+
+
+def q_img_multimodal(sf_dir: str):
+    """The binary-payload pipelines in one driver row (non-SQL):
+    `q_img_cluster` (exact supercluster cascade), `q_img_decode_stats`
+    (actor-pool decode), `q_img_embed_topk` (decode→embed→ANN chain) and
+    `q_video_frames` (container demux + frame sampling), unioned as
+    (kind, id, v1..v4)."""
+
+    def cluster_rows(b: pa.Table) -> pa.Table:
+        cid = b.column("cluster_id").to_pylist()
+        pid = b.column("point_id").to_pylist()
+        ids = [str(c) if c != -1 else p for c, p in zip(cid, pid)]
+        return pa.table(
+            {
+                "kind": pa.array(["cluster"] * b.num_rows, pa.string()),
+                "id": pa.array(ids, pa.string()),
+                "v1": b.column("point_count").cast(pa.float64()),
+                "v2": b.column("px").cast(pa.float64()),
+                "v3": b.column("py").cast(pa.float64()),
+                "v4": b.column("zoom").cast(pa.float64()),
+            }
+        )
+
+    def decode_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["decode"] * b.num_rows, pa.string()),
+                "id": b.column("image_id").cast(pa.string()),
+                "v1": b.column("mean_r").cast(pa.float64()),
+                "v2": b.column("mean_g").cast(pa.float64()),
+                "v3": b.column("mean_b").cast(pa.float64()),
+                "v4": b.column("n_pixels").cast(pa.float64()),
+            }
+        )
+
+    def topk_rows(b: pa.Table) -> pa.Table:
+        q = b.column("query_id").to_pylist()
+        n = b.column("neighbor_id").to_pylist()
+        return pa.table(
+            {
+                "kind": pa.array(["embed_topk"] * b.num_rows, pa.string()),
+                "id": pa.array([f"{a}:{c}" for a, c in zip(q, n)], pa.string()),
+                "v1": b.column("cos_sim").cast(pa.float64()),
+                "v2": b.column("query_id").cast(pa.float64()),
+                "v3": b.column("neighbor_id").cast(pa.float64()),
+                "v4": pa.array(np.zeros(b.num_rows), pa.float64()),
+            }
+        )
+
+    def frame_rows(b: pa.Table) -> pa.Table:
+        v = b.column("video_id").to_pylist()
+        f = b.column("frame_idx").to_pylist()
+        return pa.table(
+            {
+                "kind": pa.array(["video"] * b.num_rows, pa.string()),
+                "id": pa.array([f"{a}:{c}" for a, c in zip(v, f)], pa.string()),
+                "v1": b.column("mean_r").cast(pa.float64()),
+                "v2": b.column("mean_g").cast(pa.float64()),
+                "v3": b.column("mean_b").cast(pa.float64()),
+                "v4": b.column("frame_idx").cast(pa.float64()),
+            }
+        )
+
+    return _norm_union(
+        [
+            q_img_cluster(sf_dir).map_batches(cluster_rows, batch_format="pyarrow"),
+            q_img_decode_stats(sf_dir).map_batches(decode_rows, batch_format="pyarrow"),
+            q_img_embed_topk(sf_dir).map_batches(topk_rows, batch_format="pyarrow"),
+            q_video_frames(sf_dir).map_batches(frame_rows, batch_format="pyarrow"),
+        ]
+    )
+
+
+def q_ann_approx_topk(sf_dir: str):
+    """Both approximate-ANN variants in one driver row (non-SQL: recall is
+    the pytest contract): `q_ann_lsh_topk` (multi-probe LSH) and
+    `q_ann_ivf_topk` (IVF-flat), unioned with a method column."""
+
+    def tag(method: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "method": pa.array([method] * b.num_rows, pa.string()),
+                    "query_id": b.column("query_id"),
+                    "neighbor_id": b.column("neighbor_id"),
+                    "cos_sim": b.column("cos_sim"),
+                }
+            )
+
+        return fn
+
+    return _norm_union(
+        [
+            q_ann_lsh_topk(sf_dir).map_batches(tag("lsh"), batch_format="pyarrow"),
+            q_ann_ivf_topk(sf_dir).map_batches(tag("ivf"), batch_format="pyarrow"),
+        ]
+    )
+
+
+def q_sketches(sf_dir: str):
+    """The three mergeable-sketch pipelines in one driver row (non-SQL:
+    approximate by nature, each pinned vs its exact twin in pytest):
+    `q_events_hll_users` (HyperLogLog), `q_events_value_sketch` (MRL
+    quantiles) and `q_doc_heavy_hitters` (Misra–Gries), unioned as
+    (kind, key, value, aux)."""
+
+    def hll_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["hll_users"] * b.num_rows, pa.string()),
+                "key": b.column("window_start_us").cast(pa.string()),
+                "value": b.column("n_users_hll").cast(pa.float64()),
+                "aux": pa.array(np.zeros(b.num_rows), pa.float64()),
+            }
+        )
+
+    def quant_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["value_quantile"] * b.num_rows, pa.string()),
+                "key": b.column("q").cast(pa.string()),
+                "value": b.column("value").cast(pa.float64()),
+                "aux": b.column("n").cast(pa.float64()),
+            }
+        )
+
+    def hh_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["heavy_hitter"] * b.num_rows, pa.string()),
+                "key": b.column("token").cast(pa.string()),
+                "value": b.column("est").cast(pa.float64()),
+                "aux": b.column("err").cast(pa.float64()),
+            }
+        )
+
+    return _norm_union(
+        [
+            q_events_hll_users(sf_dir).map_batches(hll_rows, batch_format="pyarrow"),
+            q_events_value_sketch(sf_dir).map_batches(quant_rows, batch_format="pyarrow"),
+            q_doc_heavy_hitters(sf_dir).map_batches(hh_rows, batch_format="pyarrow"),
+        ]
+    )
+
+
 # Registry order matters: the driver runs queries in dict order and caps the
 # CORRECTNESS run at 50 rows (r2 ran exactly the first 50 of 56).  All 46
 # SQL-oracled queries come first so every oracle-checkable pipeline gets a
-# driver row; the 11 no-oracle (pytest-oracled) queries follow, most
-# important first, so under a 50-row cap only the least critical of the
-# pytest-covered entries are skipped.
+# driver row; the 4 no-oracle entries (merged unions carrying all 11
+# pytest-oracled pipelines — see above) follow, so EVERY registered
+# pipeline now surfaces a CORRECTNESS row under the 50-row cap.
 QUERIES: dict[str, Callable[[str], Any]] = {
     # ---- SQL-oracled (46) ---------------------------------------------
     "img_tile_assign": q_img_tile_assign,
@@ -965,21 +1164,11 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_sample": q_doc_sample,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
-    # ---- pytest-oracled / non-SQL (11) --------------------------------
-    "video_frames": q_video_frames,
-    "rect_pyramid": q_rect_pyramid,
-    "img_cluster": q_img_cluster,
-    "img_decode_stats": q_img_decode_stats,
-    # rect_raster_vectorize is the first to fall past the driver's 50-row
-    # cap: its rasterize∘vectorize==identity pytest is bit-exact, the
-    # strongest standalone evidence in this section
-    "rect_raster_vectorize": q_rect_raster_vectorize,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "img_embed_topk": q_img_embed_topk,
-    "events_hll_users": q_events_hll_users,
-    "events_value_sketch": q_events_value_sketch,
-    "doc_heavy_hitters": q_doc_heavy_hitters,
+    # ---- pytest-oracled / non-SQL (4 union rows, 11 pipelines) --------
+    "rect_pyramid_raster": q_rect_pyramid_raster,
+    "img_multimodal": q_img_multimodal,
+    "ann_approx_topk": q_ann_approx_topk,
+    "sketches": q_sketches,
 }
 
 
