@@ -411,28 +411,29 @@ def asof_join_latest(
     key: str = "user_id",
     ts_col: str = "ts",
     out_cols: tuple = ("event_id", "user_id", "ts"),
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Distributed backward as-of join: for each left row, the latest right
     ``ts`` with ``right.ts <= left.ts`` for the same ``key`` (SQL
     ``ASOF LEFT JOIN`` / pandas ``merge_asof``), an operator the reference
     engine and Ray Data both lack.
 
-    Shape: ONE shuffle — both sides are tagged and unioned, then a single
-    ``groupby(key).map_groups`` runs a vectorized searchsorted merge per
-    key group. Only the join key co-locates rows; emitting the matched
-    timestamp (not an arbitrary matched row) keeps the result deterministic
-    under duplicate right timestamps.
+    Shape: ONE shuffle on a BOUNDED hash of the (integer) join key — both
+    sides are tagged and unioned, and each partition task runs one lexsort
+    plus a vectorized searchsorted merge per key segment (grouping on the
+    raw key would pay a Python dispatch per distinct user; BASELINE.md
+    dispatch audit). Only the join key co-locates rows; emitting the
+    matched timestamp (not an arbitrary matched row) keeps the result
+    deterministic under duplicate right timestamps.
 
-    Scale note: a pathologically hot key serializes in one group. The scale
-    path is time-bucket salting — group on (key, ts_bucket) and carry each
-    bucket's per-key max right-ts forward with a tiny prefix-max pass; not
-    needed at the tested key cardinalities.
+    Scale note: a pathologically hot key serializes in its segment. The
+    scale path is time-bucket salting — segment on (key, ts_bucket) and
+    carry each bucket's per-key max right-ts forward with a tiny
+    prefix-max pass; not needed at the tested key cardinalities.
     """
-    import pyarrow.compute as pc
+    from .blocking import lexsort_segments, mix_to_partitions
 
-    lcols = list(out_cols)
-
-    def tag(side: int, cols: list):
+    def tag(side: int):
         def fn(batch: pa.Table) -> pa.Table:
             t = pa.table(
                 {
@@ -444,34 +445,71 @@ def asof_join_latest(
                     key: batch.column(key),
                     ts_col: batch.column(ts_col),
                     "side": pa.array(np.full(batch.num_rows, side, dtype=np.int8)),
+                    "pk": pa.array(
+                        mix_to_partitions(
+                            batch.column(key).to_numpy().astype(np.int64),
+                            n_partitions,
+                        )
+                    ),
                 }
             )
             return t
 
         return fn
 
-    tagged = left.map_batches(tag(0, lcols), batch_format="pyarrow").union(
-        right.map_batches(tag(1, []), batch_format="pyarrow")
+    tagged = left.map_batches(tag(0), batch_format="pyarrow").union(
+        right.map_batches(tag(1), batch_format="pyarrow")
     )
 
-    def merge(group: pa.Table) -> pa.Table:
+    def merge_partition(group: pa.Table) -> pa.Table:
+        """Every join key hashed into this partition, as-of-merged in ONE
+        task: per-key work is a sort + searchsorted over its segment."""
         side = group.column("side").to_numpy()
         ts = group.column(ts_col).to_numpy()  # datetime64[us]
-        lmask = side == 0
-        lts = ts[lmask]
-        rts = np.sort(ts[~lmask])
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        matched = np.empty(len(lts), dtype=ts.dtype)
-        hit = idx >= 0
-        matched[hit] = rts[np.clip(idx, 0, None)][hit]
-        out = pa.table(
+        kcol = group.column(key).to_numpy()
+        eid = group.column("event_id").to_numpy()
+        order, starts, ends = lexsort_segments((kcol,))
+        side_s, ts_s, k_s, eid_s = (
+            a[order] for a in (side, ts, kcol, eid)
+        )
+        out_eid: list[np.ndarray] = []
+        out_key: list[np.ndarray] = []
+        out_lts: list[np.ndarray] = []
+        out_mts: list[np.ndarray] = []
+        out_hit: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            lmask = side_s[s:e] == 0
+            if not lmask.any():
+                continue
+            lts = ts_s[s:e][lmask]
+            rts = np.sort(ts_s[s:e][~lmask])
+            idx = np.searchsorted(rts, lts, side="right") - 1
+            matched = np.empty(len(lts), dtype=ts.dtype)
+            hit = idx >= 0
+            if len(rts):
+                matched[hit] = rts[np.clip(idx, 0, None)][hit]
+            out_eid.append(eid_s[s:e][lmask])
+            out_key.append(k_s[s:e][lmask])
+            out_lts.append(lts)
+            out_mts.append(matched)
+            out_hit.append(hit)
+        if not out_eid:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    key: group.column(key).slice(0, 0),
+                    ts_col: group.column(ts_col).slice(0, 0),
+                    "matched_ts": group.column(ts_col).slice(0, 0),
+                }
+            )
+        hit = np.concatenate(out_hit)
+        return pa.table(
             {
-                "event_id": pa.array(group.column("event_id").to_numpy()[lmask]),
-                key: pa.array(group.column(key).to_numpy()[lmask]),
-                ts_col: pa.array(lts),
-                "matched_ts": pa.array(matched, mask=~hit),
+                "event_id": pa.array(np.concatenate(out_eid)),
+                key: pa.array(np.concatenate(out_key)),
+                ts_col: pa.array(np.concatenate(out_lts)),
+                "matched_ts": pa.array(np.concatenate(out_mts), mask=~hit),
             }
         )
-        return out
 
-    return tagged.groupby(key).map_groups(merge, batch_format="pyarrow")
+    return tagged.groupby("pk").map_groups(merge_partition, batch_format="pyarrow")

@@ -126,11 +126,26 @@ def connected_components(
         return _pair_table(out_node, out_label, n_buckets)
 
     def state_sig(ds: "ray.data.Dataset") -> tuple:
-        """Order-independent multiset hash of the deduped (node, label) set."""
+        """Order-independent multiset hash of the deduped (node, label) set.
 
-        def hash_batch(batch: pa.Table) -> pa.Table:
-            n = batch.column("node").to_numpy().astype(np.uint64)
-            l = batch.column("label").to_numpy().astype(np.uint64)
+        Dedup + hash happen per BUCKET (bucket = mix(node) % P, so every
+        copy of a (node, label) pair lives in one bucket and a bucketed
+        dedup IS a global dedup): one vectorized lexsort task per bucket
+        emitting a single (n, h1, h2) partial row. The former
+        ``groupby(["node","label"]).count()`` paid a Python dispatch per
+        distinct pair EVERY round (BASELINE.md dispatch audit: 58 s for a
+        262k-key count)."""
+
+        def sig_partial(group: pa.Table) -> pa.Table:
+            node = group.column("node").to_numpy().astype(np.int64)
+            label = group.column("label").to_numpy().astype(np.int64)
+            order = np.lexsort((label, node))
+            node, label = node[order], label[order]
+            keep = np.r_[
+                True, (node[1:] != node[:-1]) | (label[1:] != label[:-1])
+            ]
+            n = node[keep].astype(np.uint64)
+            l = label[keep].astype(np.uint64)
             h = _mix64(n * np.uint64(0x100000001B3) + _mix64(l))
             # top 32 bits per component: sums of up to 2^31 rows stay
             # inside int64 (a full 64-bit sum overflows Ray's Sum and
@@ -138,18 +153,21 @@ def connected_components(
             # mixes keep the multiset-signature collision odds ~2^-64
             return pa.table(
                 {
-                    "h1": pa.array((h >> np.uint64(32)).astype(np.int64)),
-                    "h2": pa.array((_mix64(h) >> np.uint64(32)).astype(np.int64)),
+                    "n": pa.array([int(keep.sum())], pa.int64()),
+                    "h1": pa.array([int((h >> np.uint64(32)).astype(np.int64).sum())]),
+                    "h2": pa.array(
+                        [int((_mix64(h) >> np.uint64(32)).astype(np.int64).sum())]
+                    ),
                 }
             )
 
-        # dedupe pairs first so emission multiplicity doesn't mask a fixpoint
-        deduped = ds.groupby(["node", "label"]).count()
-        hashed = deduped.map_batches(hash_batch, batch_format="pyarrow")
-        agg = hashed.aggregate(
-            ray.data.aggregate.Sum("h1"), ray.data.aggregate.Sum("h2")
+        partials = ds.groupby("bucket").map_groups(sig_partial, batch_format="pyarrow")
+        agg = partials.aggregate(
+            ray.data.aggregate.Sum("n"),
+            ray.data.aggregate.Sum("h1"),
+            ray.data.aggregate.Sum("h2"),
         )
-        return (deduped.count(), agg["sum(h1)"], agg["sum(h2)"])
+        return (agg["sum(n)"], agg["sum(h1)"], agg["sum(h2)"])
 
     prev_sig = None
     for _ in range(max_rounds):

@@ -185,6 +185,12 @@ def topk_per_group(
     ascending ``tie_col`` tie-break (deterministic total order). Each batch
     keeps its local top-k per key, so the shuffle moves ≤ k rows per
     (batch, group); the per-group merge emits a 1-based ``rank`` column.
+
+    Partitioning assumption: ``key`` must be BOUNDED cardinality (every
+    call site groups on nations / languages) — the final merge groups on
+    the raw key and pays a dispatch per distinct value. For an unbounded
+    key, hash it through `blocking.mix_to_partitions` first (the
+    `cogroup_join` / `cumulative_per_group` shape).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -220,18 +226,23 @@ def cogroup_join(
     key: str,
     left_cols: list[str],
     right_cols: list[str],
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Big-big inner equi-join via co-grouping: both sides are tagged and
-    unioned, then ONE ``groupby(key)`` shuffle co-locates each key's rows
-    and a per-group cross of the two sides emits the join. This is the
-    join shape when neither side fits a broadcast — only the join key
-    co-partitions rows, and each group's output is produced with two
-    vectorized ``np.repeat``/``np.tile`` gathers (no row loop).
+    unioned, then ONE shuffle on a BOUNDED hash of the (integer) join key
+    co-locates each key's rows; inside each partition task the join runs
+    as one lexsort + per-key-segment cross product (vectorized
+    ``np.repeat``/``np.tile`` gathers, no row loop). This is the join
+    shape when neither side fits a broadcast. Grouping on the raw key
+    would pay a Python dispatch per distinct key — per-distinct-orderkey
+    at TPC-H shape (BASELINE.md dispatch audit).
 
-    Scale note: one pathological key serializes in its group — salt the
-    hot key by replicating the smaller side across salt buckets when key
-    skew is known. Column sets are pruned before the shuffle.
+    Scale note: one pathological key serializes in its partition's
+    segment — salt the hot key by replicating the smaller side across
+    salt buckets when key skew is known. Column sets are pruned before
+    the shuffle.
     """
+    from .blocking import lexsort_segments, mix_to_partitions
 
     # unified schema on both sides: key + left payload + right payload
     # (typed nulls on the absent side) — avoids schema-divergent unions
@@ -247,6 +258,11 @@ def cogroup_join(
             cols["__side"] = pa.array(
                 np.full(batch.num_rows, side, dtype=np.int8)
             )
+            cols["__pk"] = pa.array(
+                mix_to_partitions(
+                    batch.column(key).to_numpy().astype(np.int64), n_partitions
+                )
+            )
             return pa.table(cols)
 
         return fn
@@ -259,31 +275,45 @@ def cogroup_join(
         right.map_batches(project(1, right_cols, left_cols, l_schema), batch_format="pyarrow")
     )
 
-    out_names = [f"L{c}" for c in left_cols] + [f"R{c}" for c in right_cols]
-
-    def join_group(g: pa.Table) -> pa.Table:
-        side = g.column("__side").to_numpy()
-        li = np.nonzero(side == 0)[0]
-        ri = np.nonzero(side == 1)[0]
-        if not len(li) or not len(ri):
-            cols = {"__key": g.column("__key").slice(0, 0)}
-            for c in left_cols:
-                cols[f"L{c}"] = g.column(f"L{c}").slice(0, 0)
-            for c in right_cols:
-                cols[f"R{c}"] = g.column(f"R{c}").slice(0, 0)
-            return pa.table(cols)
-        # cross product of the key group, vectorized
-        lrep = np.repeat(li, len(ri))
-        rrep = np.tile(ri, len(li))
-        cols = {"__key": g.column("__key").take(pa.array(lrep))}
+    def _empty(g: pa.Table) -> pa.Table:
+        cols = {"__key": g.column("__key").slice(0, 0)}
         for c in left_cols:
-            cols[f"L{c}"] = g.column(f"L{c}").take(pa.array(lrep))
+            cols[f"L{c}"] = g.column(f"L{c}").slice(0, 0)
         for c in right_cols:
-            cols[f"R{c}"] = g.column(f"R{c}").take(pa.array(rrep))
+            cols[f"R{c}"] = g.column(f"R{c}").slice(0, 0)
         return pa.table(cols)
 
-    joined = tagged.groupby("__key").map_groups(join_group, batch_format="pyarrow")
-    return joined
+    def join_partition(g: pa.Table) -> pa.Table:
+        """Every join key hashed into this partition, joined in ONE task:
+        per-key work is a small numpy cross product over a sorted segment."""
+        if g.num_rows == 0:
+            return _empty(g)
+        k = g.column("__key").to_numpy()
+        side = g.column("__side").to_numpy()
+        order, starts, ends = lexsort_segments((k,))
+        side_s = side[order]
+        lreps: list[np.ndarray] = []
+        rreps: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            seg = order[s:e]
+            li = seg[side_s[s:e] == 0]
+            ri = seg[side_s[s:e] == 1]
+            if len(li) == 0 or len(ri) == 0:
+                continue
+            lreps.append(np.repeat(li, len(ri)))
+            rreps.append(np.tile(ri, len(li)))
+        if not lreps:
+            return _empty(g)
+        lrep = pa.array(np.concatenate(lreps))
+        rrep = pa.array(np.concatenate(rreps))
+        cols = {"__key": g.column("__key").take(lrep)}
+        for c in left_cols:
+            cols[f"L{c}"] = g.column(f"L{c}").take(lrep)
+        for c in right_cols:
+            cols[f"R{c}"] = g.column(f"R{c}").take(rrep)
+        return pa.table(cols)
+
+    return tagged.groupby("__pk").map_groups(join_partition, batch_format="pyarrow")
 
 
 def order_revenue_by_priority(
@@ -346,11 +376,17 @@ def cumulative_per_group(
     value_expr,
     out_cols: list[str],
     cum_name: str = "cum_value",
+    n_partitions: int = 256,
 ) -> "ray.data.Dataset":
-    """Ordered running total per group (integer domain → exact): one
-    ``groupby(key)`` shuffle, per-group lexsort by ``order_cols`` and a
-    cumsum. ``value_expr(batch) -> pa.Array`` computes the summand before
+    """Ordered running total per group (integer domain → exact): ONE
+    shuffle on a bounded hash of the (integer) group key, then a single
+    lexsort by (key, ``order_cols``) per partition task with a
+    segment-reset cumsum — each key's running total restarts at its
+    segment boundary, so the result is identical to a per-group cumsum
+    without the per-distinct-key Python dispatch (BASELINE.md dispatch
+    audit). ``value_expr(batch) -> pa.Array`` computes the summand before
     the shuffle so only (key, order, value, out) columns move."""
+    from .blocking import mix_to_partitions
 
     def prep(batch: pa.Table) -> pa.Table:
         cols = {key: batch.column(key)}
@@ -359,23 +395,36 @@ def cumulative_per_group(
         for c in out_cols:
             cols[c] = batch.column(c)
         cols["__val"] = value_expr(batch)
+        cols["__pk"] = pa.array(
+            mix_to_partitions(
+                batch.column(key).to_numpy().astype(np.int64), n_partitions
+            )
+        )
         return pa.table(cols)
 
-    def per_group(g: pa.Table) -> pa.Table:
-        keys = tuple(
-            g.column(c).to_numpy()
-            if not pa.types.is_timestamp(g.schema.field(c).type)
-            else g.column(c).to_numpy().astype("int64")
-            for c in reversed(order_cols)
-        )
+    def per_partition(g: pa.Table) -> pa.Table:
+        def col_as_np(c: str) -> np.ndarray:
+            arr = g.column(c).to_numpy()
+            if pa.types.is_timestamp(g.schema.field(c).type):
+                arr = arr.astype("int64")
+            return arr
+
+        kcol = col_as_np(key)
+        keys = tuple(col_as_np(c) for c in reversed(order_cols)) + (kcol,)
         order = np.lexsort(keys)
-        g = g.take(pa.array(order))
-        cum = np.cumsum(g.column("__val").to_numpy())
+        g = g.take(pa.array(order)).drop_columns(["__pk"])
+        vals = g.column("__val").to_numpy()
+        cum = np.cumsum(vals)
+        ks = kcol[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        seg_len = np.diff(np.append(starts, len(ks)))
+        # subtract each segment's prefix so the cumsum restarts per key
+        cum = cum - np.repeat(cum[starts] - vals[starts], seg_len)
         out = g.drop_columns(["__val"])
         return out.append_column(cum_name, pa.array(cum, pa.int64()))
 
     return (
         ds.map_batches(prep, batch_format="pyarrow")
-        .groupby(key)
-        .map_groups(per_group, batch_format="pyarrow")
+        .groupby("__pk")
+        .map_groups(per_partition, batch_format="pyarrow")
     )

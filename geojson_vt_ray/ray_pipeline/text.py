@@ -1350,31 +1350,61 @@ def batch_token_counts(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return np.unique(np.asarray(toks, dtype=object), return_counts=True)
 
 
-def top_tokens(docs: "ray.data.Dataset", k: int = 20) -> "ray.data.Dataset":
+def top_tokens(
+    docs: "ray.data.Dataset", k: int = 20, n_partitions: int = 256
+) -> "ray.data.Dataset":
     """Global top-k most frequent tokens (single-space split, same
     convention as `token_stats`) — the heavy-hitter wordcount shape.
 
     Scale: the token explosion never shuffles raw tokens per occurrence;
     each batch pre-aggregates to (token, count) partials (np.unique over
-    the batch's whole token array), the groupby sums partials, and only
-    the tiny sorted head leaves. Ties break by token ascending, matching
-    the SQL oracle's ORDER BY n DESC, token."""
-    from ray.data.aggregate import Sum
+    the batch's whole token array). Tokens hash onto ``n_partitions``
+    partitions (a token lives wholly in one partition), each partition
+    task sums its tokens via Arrow C++ ``group_by`` and keeps only ITS
+    top-k — any global top-k member is necessarily in its partition's
+    top-k, so the final sort runs over ≤ n_partitions·k rows instead of
+    the whole vocabulary (the former raw-token groupby paid a dispatch
+    per distinct token AND sorted the full vocab table). Ties break by
+    token ascending, matching the SQL oracle's ORDER BY n DESC, token."""
 
     def partial(batch: pa.Table) -> pa.Table:
         vals, cnts = batch_token_counts(batch)
+        toks = vals.astype(str)
+        # per-batch-vocabulary hashing (bounded by the batch's distinct
+        # tokens — same cost class as the token counting itself)
+        pk = np.fromiter(
+            (md5_u64(t.encode()) % n_partitions for t in toks),
+            dtype=np.int64,
+            count=len(toks),
+        )
         return pa.table(
             {
-                "token": pa.array(vals.astype(str), pa.string()),
+                "token": pa.array(toks, pa.string()),
                 "n": pa.array(cnts.astype(np.int64)),
+                "pk": pa.array(pk),
+            }
+        )
+
+    def partition_topk(g: pa.Table) -> pa.Table:
+        agg = (
+            g.select(["token", "n"]).group_by(["token"]).aggregate([("n", "sum")])
+        )
+        n = agg.column("n_sum").to_numpy()
+        toks = agg.column("token").to_numpy(zero_copy_only=False)
+        order = np.lexsort((toks, -n))[:k]
+        idx = pa.array(order)
+        return pa.table(
+            {
+                "token": agg.column("token").take(idx),
+                "n": agg.column("n_sum").take(idx),
             }
         )
 
     counts = (
         docs.select_columns(["text"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
+        .groupby("pk")
+        .map_groups(partition_topk, batch_format="pyarrow")
     )
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
