@@ -158,7 +158,11 @@ def apply_diff_dataset(
         hit = pc.is_in(batch.column(key_col), value_set=drop_keys)
         return batch.filter(hit).select(["feature_json"])
 
-    for row in source_rows.map_batches(affected_scan, batch_format="pyarrow").iter_rows():
+    # one bounded collect (matched rows are diff-sized by contract) instead
+    # of iter_rows' per-row driver round trips; a pathological
+    # touch-everything diff degrades to a full-source rebuild anyway, which
+    # `incremental_update_pyramid` callers fall back to by rebuilding
+    for row in source_rows.map_batches(affected_scan, batch_format="pyarrow").take_all():
         f = json.loads(row["feature_json"])
         affected.extend(wrap(convert_to_internal(f, options), options))
 
