@@ -24,6 +24,13 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ["PYTHONPATH"] = (
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    + os.pathsep
+    + os.environ.get("PYTHONPATH", "")
+)  # Ray workers import the package too
+
 import numpy as np
 import pyarrow as pa
 
