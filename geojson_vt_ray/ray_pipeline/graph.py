@@ -105,6 +105,12 @@ def connected_components(
         m = min(C): emit (node, m), (l, m) for every l in C, and (m, l)
         for every l in C — neighbors learn the min, the min learns the
         neighborhood, which is what contracts chains logarithmically.
+
+        Also emits THREE sentinel rows (bucket −1/−2/−3) carrying this
+        bucket's (count, h1, h2) multiset-hash partials of the DEDUPED
+        INPUT — the convergence signature rides the round's own shuffle
+        instead of paying a second full groupby per round (the former
+        `state_sig` dataset pass; see BASELINE.md dispatch audit).
         """
         if group.num_rows == 0:
             return _pair_table(np.empty(0, np.int64), np.empty(0, np.int64), n_buckets)
@@ -116,6 +122,21 @@ def connected_components(
             ([True], (node[1:] != node[:-1]) | (label[1:] != label[:-1]))
         )
         node, label = node[keep], label[keep]
+        # signature partials of the deduped input state (top 32 bits per
+        # component: sums of up to 2^31 rows stay inside int64; two
+        # independent 32-bit mixes keep collision odds ~2^-64)
+        h = _mix64(
+            node.astype(np.uint64) * np.uint64(0x100000001B3)
+            + _mix64(label.astype(np.uint64))
+        )
+        sig_vals = np.array(
+            [
+                len(node),
+                int((h >> np.uint64(32)).astype(np.int64).sum()),
+                int((_mix64(h) >> np.uint64(32)).astype(np.int64).sum()),
+            ],
+            dtype=np.int64,
+        )
         starts = np.nonzero(np.concatenate(([True], node[1:] != node[:-1])))[0]
         counts = np.diff(np.append(starts, len(node)))
         uniq_nodes = node[starts]
@@ -123,60 +144,61 @@ def connected_components(
         rep_min = np.repeat(mins, counts)
         out_node = np.concatenate([uniq_nodes, label, rep_min])
         out_label = np.concatenate([mins, rep_min, label])
-        return _pair_table(out_node, out_label, n_buckets)
+        out = _pair_table(out_node, out_label, n_buckets)
+        sent = pa.table(
+            {
+                "bucket": pa.array(np.array([-1, -2, -3], dtype=np.int32)),
+                "node": pa.array(sig_vals),
+                "label": pa.array(np.zeros(3, dtype=np.int64)),
+            }
+        )
+        return pa.concat_tables([out, sent])
 
-    def state_sig(ds: "ray.data.Dataset") -> tuple:
-        """Order-independent multiset hash of the deduped (node, label) set.
+    def extract_sig(ds: "ray.data.Dataset") -> tuple:
+        """Order-independent multiset hash of the round's DEDUPED INPUT,
+        summed from the sentinel partial rows `round_fn` emitted — two
+        cheap passes over already-materialized blocks, no extra shuffle.
+        Dedup correctness: bucket = mix(node) % P, so every copy of a
+        (node, label) pair lives in one bucket and the per-bucket dedup
+        inside round_fn IS a global dedup."""
 
-        Dedup + hash happen per BUCKET (bucket = mix(node) % P, so every
-        copy of a (node, label) pair lives in one bucket and a bucketed
-        dedup IS a global dedup): one vectorized lexsort task per bucket
-        emitting a single (n, h1, h2) partial row. The former
-        ``groupby(["node","label"]).count()`` paid a Python dispatch per
-        distinct pair EVERY round (BASELINE.md dispatch audit: 58 s for a
-        262k-key count)."""
-
-        def sig_partial(group: pa.Table) -> pa.Table:
-            node = group.column("node").to_numpy().astype(np.int64)
-            label = group.column("label").to_numpy().astype(np.int64)
-            order = np.lexsort((label, node))
-            node, label = node[order], label[order]
-            keep = np.r_[
-                True, (node[1:] != node[:-1]) | (label[1:] != label[:-1])
-            ]
-            n = node[keep].astype(np.uint64)
-            l = label[keep].astype(np.uint64)
-            h = _mix64(n * np.uint64(0x100000001B3) + _mix64(l))
-            # top 32 bits per component: sums of up to 2^31 rows stay
-            # inside int64 (a full 64-bit sum overflows Ray's Sum and
-            # falls back to pickled Python ints); two independent 32-bit
-            # mixes keep the multiset-signature collision odds ~2^-64
+        def partial(batch: pa.Table) -> pa.Table:
+            b = batch.column("bucket").to_numpy()
+            v = batch.column("node").to_numpy()
             return pa.table(
                 {
-                    "n": pa.array([int(keep.sum())], pa.int64()),
-                    "h1": pa.array([int((h >> np.uint64(32)).astype(np.int64).sum())]),
-                    "h2": pa.array(
-                        [int((_mix64(h) >> np.uint64(32)).astype(np.int64).sum())]
-                    ),
+                    "n": pa.array([int(v[b == -1].sum())], pa.int64()),
+                    "h1": pa.array([int(v[b == -2].sum())], pa.int64()),
+                    "h2": pa.array([int(v[b == -3].sum())], pa.int64()),
                 }
             )
 
-        partials = ds.groupby("bucket").map_groups(sig_partial, batch_format="pyarrow")
-        agg = partials.aggregate(
+        agg = ds.map_batches(partial, batch_format="pyarrow").aggregate(
             ray.data.aggregate.Sum("n"),
             ray.data.aggregate.Sum("h1"),
             ray.data.aggregate.Sum("h2"),
         )
         return (agg["sum(n)"], agg["sum(h1)"], agg["sum(h2)"])
 
+    def drop_sentinels(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy()
+        return batch.filter(pa.array(b >= 0))
+
+    # convergence: the signature produced by round r hashes round r's
+    # input == round r-1's output, so equality of consecutive signatures
+    # witnesses output_{r-1} == output_{r-2} (a true fixpoint — the
+    # iteration is deterministic). One round runs past the fixpoint, in
+    # exchange for halving the shuffles per round vs a separate
+    # state-signature groupby.
     prev_sig = None
     for _ in range(max_rounds):
-        pairs = (
+        out = (
             pairs.groupby("bucket")
             .map_groups(round_fn, batch_format="pyarrow")
             .materialize()
         )
-        sig = state_sig(pairs)
+        sig = extract_sig(out)
+        pairs = out.map_batches(drop_sentinels, batch_format="pyarrow")
         if sig == prev_sig:
             break
         prev_sig = sig

@@ -607,12 +607,15 @@ def verify_jaccard_distributed(
         )
 
     cand_docs = tagged.groupby("pk").map_groups(semi_join, batch_format="pyarrow")
+    # pin_postings: the exact-Jaccard stage's posting-size scan would
+    # otherwise re-execute this whole semi-join shuffle a second time
     exact = ngram_jaccard_pairs(
         cand_docs,
         threshold=threshold,
         shingle_k=shingle_k,
         posting_cap=posting_cap,
         n_partitions=n_partitions,
+        pin_postings=True,
     )
 
     def exact_rows(batch: pa.Table) -> pa.Table:
@@ -728,6 +731,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     posting_cap: int = 4096,
     n_partitions: int = 256,
+    pin_postings: bool = False,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index —
     no driver materialization, no all-pairs scan, BOUNDED dispatch (both
@@ -757,7 +761,11 @@ def ngram_jaccard_pairs(
     counts, and hence the exact Jaccard, are unchanged (pinned by the
     blocked==unblocked equality test). The posting-size scan re-executes
     the shingle stage once (text never ships; cheap relative to pinning
-    the posting table at 10^12-row scale).
+    the posting table at 10^12-row scale). ``pin_postings=True``
+    materializes the int-only (shingle, doc_id, set_size) rows instead —
+    the right tradeoff when the UPSTREAM is itself expensive (e.g.
+    `verify_jaccard_distributed`, whose input rides through a shuffle
+    semi-join that would otherwise run twice).
     """
     import ray as _ray
 
@@ -784,6 +792,8 @@ def ngram_jaccard_pairs(
             )
 
     postings = docs.map_batches(ShingleStage, batch_format="pyarrow", concurrency=(1, 32))
+    if pin_postings:
+        postings = postings.materialize()
 
     monsters = scan_monsters(postings, ["shingle"], posting_cap)
     monsters_ref = _ray.put(monsters)
