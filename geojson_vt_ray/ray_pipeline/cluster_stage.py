@@ -635,8 +635,10 @@ def get_cluster_tile(
     range query at limitZoom(z) over the tree coordinates, plus the x-edge
     neighbor pulls that wrap dateline clusters into x==0 / x==2^z-1 tiles.
     Returns the reference tile dict (`{z, x, y, features, ...}`, extent
-    coords via the JS round) or None when empty; the range filter runs
-    distributed and only the tile's own features reach the driver.
+    coords via the JS round); an in-range tile with no matching rows is an
+    empty-features tile, never None, matching the reference's
+    tree-exists-but-empty behavior. The range filter runs distributed and
+    only the tile's own features reach the driver.
 
     Notes vs the local `ClusterIndex.get_tile`: singleton feature ids
     surface as the cascade's strings; `generate_id` and cluster

@@ -420,6 +420,42 @@ def test_get_cluster_tile_matches_local(ray_session, fixtures):
         assert got == want, (z, tx, ty)
 
 
+def test_get_cluster_tile_empty_is_tile_not_none(ray_session):
+    """An in-range tile with no matching rows is an empty-features tile dict,
+    never None — reference getTile returns {features: []} whenever the zoom's
+    tree exists (cluster-tile-index.ts:248-284), reserving None for 'no
+    tree'. The local ClusterIndex agrees."""
+    import ray.data
+
+    from geojson_vt_ray.cluster import ClusterIndex
+    from geojson_vt_ray.options import ClusterOptions
+    from geojson_vt_ray.ray_pipeline.cluster_stage import (
+        cluster_cascade_exact,
+        get_cluster_tile,
+    )
+
+    options = ClusterOptions(max_zoom=5)
+    rows = [{"pid": "p0", "px": 0.1, "py": 0.1}]
+    cascade = cluster_cascade_exact(ray.data.from_items(rows), options).materialize()
+
+    index = ClusterIndex(options)
+    index.initialize(
+        [
+            {
+                "id": "p0", "type": "Point", "geometry": [0.1, 0.1],
+                "tags": None, "minX": 0.0, "minY": 0.0, "maxX": 0.0, "maxY": 0.0,
+            }
+        ]
+    )
+
+    # the point lives in z2 tile (0, 0); (3, 3) is in-range but empty
+    local = index.get_tile(2, 3, 3)
+    dist = get_cluster_tile(cascade, 2, 3, 3, options)
+    assert local == {"z": 2, "x": 3, "y": 3, "features": [],
+                     "transformed": True, "source": None}
+    assert dist == local
+
+
 def test_distributed_drill_apis_match_local(ray_session, fixtures):
     """getChildren / getLeaves / getClusterExpansionZoom over the persisted
     cascade == the local ClusterIndex drill APIs on places.json (reference
