@@ -534,160 +534,220 @@ def verify_jaccard_distributed(
     candidate_pairs: "ray.data.Dataset",
     threshold: float = 0.7,
     shingle_k: int = 3,
-    posting_cap: int = 4096,
     n_partitions: int = 256,
 ) -> "ray.data.Dataset":
     """Exact-Jaccard verification of LSH candidate pairs with NOTHING on the
     driver — the scale path when a low-threshold run emits millions of
     candidates (`verify_jaccard` below is the small-set driver-side twin).
 
-    1. semi-join the docs table to the candidate doc ids — both sides hash
-       ``doc_id`` onto a BOUNDED partition key (no broadcast id set,
-       candidate texts shuffle once) and the membership test is a
-       vectorized ``np.isin`` inside one task per partition;
-    2. run the exact inverted-index Jaccard (`ngram_jaccard_pairs`, with its
-       posting-list skew guard) over just the candidate docs;
-    3. inner-join the exact pairs back to the candidate pair set — both
-       sides hash ``(doc_a, doc_b)`` onto a bounded partition key, sorted-
-       segment membership inside one task per partition.
+    Direct per-pair verification: the pairs are GIVEN, so nothing here
+    regenerates them (the former design ran the full inverted-index
+    `ngram_jaccard_pairs` over the candidate corpus and filtered — paying
+    the Σ|posting|² pair-generation term and its monster-cap machinery for
+    pairs it already had).
 
-    Both joins formerly grouped on the raw keys (per-distinct-doc /
-    per-distinct-pair Python dispatch — measured ~18 s per 100k keys,
-    BASELINE.md dispatch audit); at the candidate volumes this function
-    exists for, its own joins dominated.
+    1. every doc becomes one (doc_id, sorted-distinct shingle list) row —
+       a single vectorized map, no shuffle, no posting explosion;
+    2. join pass A: docs and pairs co-partition on a BOUNDED hash of
+       ``doc_a`` (one task per partition, ``np.searchsorted`` inside);
+       each pair row picks up doc_a's shingle list; duplicate candidate
+       rows collapse here (all copies of a pair share the partition);
+    3. join pass B: same shape on ``doc_b``, then ONE vectorized
+       intersection pass per partition: both lists of a pair are
+       distinct-valued, so |A∩B| = the number of duplicated values in
+       their concatenation (lexsort by (pair, value) + adjacent-equal
+       bincount); J = c / (|A|+|B|-c) exactly.
+
+    Shuffled volume is O(docs · shingles_per_doc + Σ_pairs |A|) int64 —
+    linear in docs and pairs, never quadratic in posting-list length.
+    Partitioning assumption: a single doc's shingle list replicates once
+    per pair it appears in; LSH band caps bound candidate fan-out per doc
+    upstream. Pairs whose doc ids are absent from ``docs`` are dropped.
 
     Returns (doc_a, doc_b, jaccard) rows with jaccard >= threshold.
     ``candidate_pairs`` is a Dataset with int64 doc_a < doc_b columns
     (e.g. `minhash_candidate_pairs` output).
     """
-    from .blocking import lexsort_segments, mix_to_partitions
+    from .blocking import mix_to_partitions
 
-    def pair_ids(batch: pa.Table) -> pa.Table:
-        a = batch.column("doc_a").to_numpy()
-        b = batch.column("doc_b").to_numpy()
-        ids = np.concatenate([a, b])
+    _EMPTY_I64 = pa.array([], pa.int64())
+
+    def _list_of(flat: np.ndarray, lens: np.ndarray) -> pa.LargeListArray:
+        offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        return pa.LargeListArray.from_arrays(
+            pa.array(offs, pa.int64()), pa.array(flat.astype(np.int64))
+        )
+
+    def _empty_list(n: int) -> pa.LargeListArray:
+        return pa.LargeListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int64), pa.int64()), _EMPTY_I64
+        )
+
+    def _join_schema(pk, key, is_doc, doc_a, doc_b, own, carry) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(ids),
-                "text": pa.array([""] * (len(a) + len(b)), pa.string()),
-                "is_need": pa.array(np.ones(len(a) + len(b), dtype=np.int8)),
-                "pk": pa.array(mix_to_partitions(ids, n_partitions)),
+                "pk": pa.array(pk),
+                "key": pa.array(key),
+                "is_doc": pa.array(is_doc),
+                "doc_a": pa.array(doc_a),
+                "doc_b": pa.array(doc_b),
+                "own": own,
+                "carry": carry,
             }
         )
 
-    def doc_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        ids = batch.column("doc_id").to_numpy()
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "text": batch.column("text").cast(pa.string()),
-                "is_need": pa.array(np.zeros(n, dtype=np.int8)),
-                "pk": pa.array(mix_to_partitions(ids, n_partitions)),
-            }
+    class DocListStage:
+        """doc → (doc_id, shingle list) join-side rows; the token-hash
+        vocabulary cache lives per actor."""
+
+        def __init__(self) -> None:
+            self.hasher = TokenHasher(shingle_k)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy().astype(np.int64)
+            sh = [self.hasher.shingles(t) for t in batch.column("text").to_pylist()]
+            lens = np.array([len(s) for s in sh], dtype=np.int64)
+            flat = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
+            n = len(ids)
+            z = np.zeros(n, dtype=np.int64)
+            return _join_schema(
+                mix_to_partitions(ids, n_partitions),
+                ids,
+                np.ones(n, dtype=np.int8),
+                z,
+                z,
+                # uint64→int64 view is bijective: only equality matters below
+                _list_of(flat.view(np.int64), lens),
+                _empty_list(n),
+            )
+
+    def doc_rows(_docs: "ray.data.Dataset") -> "ray.data.Dataset":
+        return _docs.map_batches(
+            DocListStage, batch_format="pyarrow", concurrency=(1, 32)
         )
 
-    tagged = docs.map_batches(doc_rows, batch_format="pyarrow").union(
-        candidate_pairs.map_batches(pair_ids, batch_format="pyarrow")
-    )
-
-    def semi_join(g: pa.Table) -> pa.Table:
-        """All doc ids hashed into this partition, membership-tested in ONE
-        vectorized pass (doc_id is unique in the docs table, so no
-        per-segment dedup is needed)."""
-        need = g.column("is_need").to_numpy()
-        ids = g.column("doc_id").to_numpy()
-        keep = (need == 0) & np.isin(ids, ids[need == 1])
-        mask = pa.array(keep)
-        return pa.table(
-            {
-                "doc_id": g.column("doc_id").filter(mask),
-                "text": g.column("text").filter(mask),
-            }
-        )
-
-    cand_docs = tagged.groupby("pk").map_groups(semi_join, batch_format="pyarrow")
-    # pin_postings: the exact-Jaccard stage's posting-size scan would
-    # otherwise re-execute this whole semi-join shuffle a second time
-    exact = ngram_jaccard_pairs(
-        cand_docs,
-        threshold=threshold,
-        shingle_k=shingle_k,
-        posting_cap=posting_cap,
-        n_partitions=n_partitions,
-        pin_postings=True,
-    )
-
-    def exact_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table(
-            {
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "jaccard": batch.column("jaccard"),
-                "is_cand": pa.array(np.zeros(n, dtype=np.int8)),
-                "pk": pa.array(
-                    mix_to_partitions(
-                        (
-                            batch.column("doc_a").to_numpy(),
-                            batch.column("doc_b").to_numpy(),
-                        ),
-                        n_partitions,
-                    )
-                ),
-            }
-        )
-
-    def cand_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+    def pair_rows_a(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
         b = batch.column("doc_b").to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_a": pa.array(a),
-                "doc_b": pa.array(b),
-                "jaccard": pa.array(np.zeros(n, dtype=np.float64)),
-                "is_cand": pa.array(np.ones(n, dtype=np.int8)),
-                "pk": pa.array(mix_to_partitions((a, b), n_partitions)),
-            }
+        n = len(a)
+        return _join_schema(
+            mix_to_partitions(a, n_partitions),
+            a,
+            np.zeros(n, dtype=np.int8),
+            a,
+            b,
+            _empty_list(n),
+            _empty_list(n),
         )
 
-    joined = exact.map_batches(exact_rows, batch_format="pyarrow").union(
-        candidate_pairs.map_batches(cand_rows, batch_format="pyarrow")
+    def _match(g: pa.Table):
+        """(pair row indices kept, matched doc row indices) for one
+        partition: sorted doc keys + searchsorted pair keys."""
+        is_doc = g.column("is_doc").to_numpy()
+        keys = g.column("key").to_numpy()
+        doc_sel = np.flatnonzero(is_doc == 1)
+        pair_sel = np.flatnonzero(is_doc == 0)
+        if len(doc_sel) == 0 or len(pair_sel) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        dkeys = keys[doc_sel]
+        dorder = np.argsort(dkeys, kind="stable")
+        dkeys_s = dkeys[dorder]
+        pkeys = keys[pair_sel]
+        pos = np.searchsorted(dkeys_s, pkeys)
+        pos_cl = np.minimum(pos, len(dkeys_s) - 1)
+        found = dkeys_s[pos_cl] == pkeys
+        return pair_sel[found], doc_sel[dorder[pos_cl[found]]]
+
+    def join_a(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        pair_idx, doc_idx = _match(g)
+        if len(pair_idx) == 0:
+            return _join_schema(
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, np.int8),
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                _empty_list(0),
+                _empty_list(0),
+            )
+        a = g.column("doc_a").to_numpy()[pair_idx]
+        b = g.column("doc_b").to_numpy()[pair_idx]
+        # all copies of a pair share this partition (pk = mix(doc_a)):
+        # collapse duplicate candidate rows here
+        order = np.lexsort((b, a))
+        a_s, b_s, pi_s, di_s = (
+            a[order],
+            b[order],
+            pair_idx[order],
+            doc_idx[order],
+        )
+        keep = np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])]
+        a_k, b_k, di_k = a_s[keep], b_s[keep], di_s[keep]
+        n = len(a_k)
+        return _join_schema(
+            mix_to_partitions(b_k, n_partitions),
+            b_k,
+            np.zeros(n, dtype=np.int8),
+            a_k,
+            b_k,
+            _empty_list(n),
+            g.column("own").take(pa.array(di_k)),
+        )
+
+    _EMPTY_OUT = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
     )
 
-    def keep_candidates(g: pa.Table) -> pa.Table:
-        """All pair keys hashed into this partition: sorted-segment inner
-        join — keep an exact row iff its (doc_a, doc_b) segment also holds
-        a candidate row."""
-        if g.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_a": pa.array([], pa.int64()),
-                    "doc_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        a = g.column("doc_a").to_numpy()
-        b = g.column("doc_b").to_numpy()
-        cand = g.column("is_cand").to_numpy()
-        order, starts, ends = lexsort_segments((a, b))
-        cand_sorted = cand[order]
-        seg_has_cand = np.add.reduceat(cand_sorted.astype(np.int64), starts) > 0
-        seg_id = np.zeros(len(order), dtype=np.int64)
-        seg_id[starts] = 1
-        seg_id = np.cumsum(seg_id) - 1
-        keep_sorted = (cand_sorted == 0) & seg_has_cand[seg_id]
-        keep_idx = pa.array(order[keep_sorted])
+    def join_b_and_score(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        pair_idx, doc_idx = _match(g)
+        if len(pair_idx) == 0:
+            return _EMPTY_OUT
+        take_p = pa.array(pair_idx)
+        la = g.column("carry").take(take_p)
+        lb = g.column("own").take(pa.array(doc_idx))
+        sa = pc.list_value_length(la).to_numpy().astype(np.int64)
+        sb = pc.list_value_length(lb).to_numpy().astype(np.int64)
+        npairs = len(pair_idx)
+        ra = np.repeat(np.arange(npairs, dtype=np.int64), sa)
+        rb = np.repeat(np.arange(npairs, dtype=np.int64), sb)
+        vals = np.concatenate(
+            [pc.list_flatten(la).to_numpy(), pc.list_flatten(lb).to_numpy()]
+        )
+        pid = np.concatenate([ra, rb])
+        order = np.lexsort((vals, pid))
+        v, p = vals[order], pid[order]
+        dup = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        c = np.bincount(p[1:][dup], minlength=npairs)
+        # every doc yields >= 1 shingle, so the union size is never 0
+        j = c / (sa + sb - c)
+        m = j >= threshold
         return pa.table(
             {
-                "doc_a": g.column("doc_a").take(keep_idx),
-                "doc_b": g.column("doc_b").take(keep_idx),
-                "jaccard": g.column("jaccard").take(keep_idx),
+                "doc_a": g.column("doc_a").take(take_p).filter(pa.array(m)),
+                "doc_b": g.column("doc_b").take(take_p).filter(pa.array(m)),
+                "jaccard": pa.array(j[m], pa.float64()),
             }
         )
 
-    return joined.groupby("pk").map_groups(keep_candidates, batch_format="pyarrow")
+    pass_a = (
+        doc_rows(docs)
+        .union(candidate_pairs.map_batches(pair_rows_a, batch_format="pyarrow"))
+        .groupby("pk")
+        .map_groups(join_a, batch_format="pyarrow")
+    )
+    return (
+        doc_rows(docs)
+        .union(pass_a)
+        .groupby("pk")
+        .map_groups(join_b_and_score, batch_format="pyarrow")
+    )
 
 
 def verify_jaccard(
@@ -731,7 +791,6 @@ def ngram_jaccard_pairs(
     shingle_k: int = 3,
     posting_cap: int = 4096,
     n_partitions: int = 256,
-    pin_postings: bool = False,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs via a distributed inverted index —
     no driver materialization, no all-pairs scan, BOUNDED dispatch (both
@@ -761,11 +820,7 @@ def ngram_jaccard_pairs(
     counts, and hence the exact Jaccard, are unchanged (pinned by the
     blocked==unblocked equality test). The posting-size scan re-executes
     the shingle stage once (text never ships; cheap relative to pinning
-    the posting table at 10^12-row scale). ``pin_postings=True``
-    materializes the int-only (shingle, doc_id, set_size) rows instead —
-    the right tradeoff when the UPSTREAM is itself expensive (e.g.
-    `verify_jaccard_distributed`, whose input rides through a shuffle
-    semi-join that would otherwise run twice).
+    the posting table at 10^12-row scale).
     """
     import ray as _ray
 
@@ -792,8 +847,6 @@ def ngram_jaccard_pairs(
             )
 
     postings = docs.map_batches(ShingleStage, batch_format="pyarrow", concurrency=(1, 32))
-    if pin_postings:
-        postings = postings.materialize()
 
     monsters = scan_monsters(postings, ["shingle"], posting_cap)
     monsters_ref = _ray.put(monsters)

@@ -396,6 +396,23 @@ def test_verify_jaccard_distributed_matches_driver(ray_session):
     for k, j in want.items():
         assert got[k] == pytest.approx(j, rel=1e-12)
 
+    # duplicate candidate rows collapse to one verified row per pair, and
+    # pairs referencing doc ids absent from the docs table are dropped
+    import pyarrow as _pa
+
+    ghost = ray.data.from_arrow(
+        _pa.table(
+            {"doc_a": _pa.array([10**6], _pa.int64()),
+             "doc_b": _pa.array([10**6 + 1], _pa.int64())}
+        )
+    )
+    noisy = cands.select_columns(["doc_a", "doc_b"]).union(
+        cands.select_columns(["doc_a", "doc_b"]), ghost
+    )
+    got2_df = verify_jaccard_distributed(docs, noisy, threshold=0.5).to_pandas()
+    got2 = {(int(r.doc_a), int(r.doc_b)): r.jaccard for r in got2_df.itertuples()}
+    assert got2 == got
+
 
 def test_embedding_dedup_clusters(ray_session):
     """Cosine near-dup components label every vector; duplicate groups share
