@@ -110,7 +110,17 @@ def connected_components(
         bucket's (count, h1, h2) multiset-hash partials of the DEDUPED
         INPUT — the convergence signature rides the round's own shuffle
         instead of paying a second full groupby per round (the former
-        `state_sig` dataset pass; see BASELINE.md dispatch audit).
+        `state_sig` dataset pass; see BASELINE.md dispatch audit) — and
+        the bucket's per-node minima (uniq_nodes, mins) tagged bucket −4:
+        at the detected fixpoint those rows ARE the final answer, so the
+        finalize step becomes a map-only filter of the last materialized
+        round instead of one more full O(V+E) sort-shuffle.
+
+        The pair output is locally deduped before emit (one lexsort over
+        ~3x the bucket's rows): hash-to-min's emission rules produce
+        heavy duplication near convergence, and dropping it here shrinks
+        every round's shuffle instead of paying the dedup only on the
+        receive side of the next round.
         """
         if group.num_rows == 0:
             return _pair_table(np.empty(0, np.int64), np.empty(0, np.int64), n_buckets)
@@ -144,7 +154,12 @@ def connected_components(
         rep_min = np.repeat(mins, counts)
         out_node = np.concatenate([uniq_nodes, label, rep_min])
         out_label = np.concatenate([mins, rep_min, label])
-        out = _pair_table(out_node, out_label, n_buckets)
+        order2 = np.lexsort((out_label, out_node))
+        out_node, out_label = out_node[order2], out_label[order2]
+        keep2 = np.concatenate(
+            ([True], (out_node[1:] != out_node[:-1]) | (out_label[1:] != out_label[:-1]))
+        )
+        out = _pair_table(out_node[keep2], out_label[keep2], n_buckets)
         sent = pa.table(
             {
                 "bucket": pa.array(np.array([-1, -2, -3], dtype=np.int32)),
@@ -152,7 +167,14 @@ def connected_components(
                 "label": pa.array(np.zeros(3, dtype=np.int64)),
             }
         )
-        return pa.concat_tables([out, sent])
+        answer = pa.table(
+            {
+                "bucket": pa.array(np.full(len(uniq_nodes), -4, dtype=np.int32)),
+                "node": pa.array(uniq_nodes.astype(np.int64)),
+                "label": pa.array(mins.astype(np.int64)),
+            }
+        )
+        return pa.concat_tables([out, sent, answer])
 
     def extract_sig(ds: "ray.data.Dataset") -> tuple:
         """Order-independent multiset hash of the round's DEDUPED INPUT,
@@ -191,6 +213,8 @@ def connected_components(
     # exchange for halving the shuffles per round vs a separate
     # state-signature groupby.
     prev_sig = None
+    converged = False
+    out = None
     for _ in range(max_rounds):
         out = (
             pairs.groupby("bucket")
@@ -200,9 +224,28 @@ def connected_components(
         sig = extract_sig(out)
         pairs = out.map_batches(drop_sentinels, batch_format="pyarrow")
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
 
+    if converged:
+        # The detected fixpoint state IS the final round's deduped input,
+        # and round_fn already reduced it per node into the bucket −4
+        # rows — every node exactly once (bucket = mix(node) % P puts all
+        # of a node's rows in one bucket), labeled with its component
+        # min. Map-only filter; no finalize shuffle.
+        def take_answer(batch: pa.Table) -> pa.Table:
+            b = batch.column("bucket").to_numpy()
+            sel = batch.filter(pa.array(b == -4))
+            return pa.table(
+                {"node": sel.column("node"), "component": sel.column("label")}
+            )
+
+        return out.map_batches(take_answer, batch_format="pyarrow")
+
+    # max_rounds exhausted without a detected fixpoint: reduce the last
+    # round's OUTPUT per node (one more shuffle), preserving the prior
+    # best-effort behavior.
     def finalize(group: pa.Table) -> pa.Table:
         if group.num_rows == 0:
             return pa.table(
