@@ -52,14 +52,23 @@ class TokenHasher:
     (mod 2^64) dot product of the window's token hashes with SHINGLE_PRIMES.
     Texts shorter than k hash all their tokens as one window. Returns the
     *distinct* shingle hashes (set semantics, matching `_token_shingles`).
+
+    The vocabulary cache is BOUNDED (cleared past ``cache_cap`` entries):
+    real corpora are Zipf-distributed so the hot vocabulary fits and hits,
+    but a worst-case stream of all-distinct tokens must not grow an
+    actor's heap without limit — the cache is an optimization, never a
+    correctness dependency.
     """
 
-    def __init__(self, k: int):
+    def __init__(self, k: int, cache_cap: int = 2_000_000):
         self.k = k
+        self.cache_cap = cache_cap
         self._cache: dict[str, int] = {}
 
     def token_hashes(self, toks: list[str]) -> np.ndarray:
         cache = self._cache
+        if len(cache) > self.cache_cap:
+            cache.clear()
         out = np.empty(len(toks), dtype=np.uint64)
         for i, t in enumerate(toks):
             h = cache.get(t)
