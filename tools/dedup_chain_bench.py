@@ -97,6 +97,13 @@ def main() -> None:
     )
     n_verified = verified.count()
 
+    # Partition count is FIXED, not tied to num_cpus (the same rule as the
+    # pyramid bench's drill_partitions): scaling legs must run identical
+    # logical plans. A standalone probe showed 64 vs 128 buckets within
+    # noise at this scale (18-23 s either way at 32 CPUs), so the bucket
+    # count is chosen for data size, and leg-to-leg CC differences beyond
+    # that are host/context noise, not plan differences.
+    cc_buckets = 128
     clusters = timed(
         "connected_components",
         lambda: labeled_clusters(
@@ -106,10 +113,10 @@ def main() -> None:
                 "doc_b",
                 nodes=docs.select_columns(["doc_id"]),
                 node_col="doc_id",
-                n_buckets=max(64, num_cpus * 4),
+                n_buckets=cc_buckets,
             ),
             id_col="doc_id",
-            n_buckets=max(64, num_cpus * 4),
+            n_buckets=cc_buckets,
         ).materialize(),
     )
     n_labeled = clusters.count()
