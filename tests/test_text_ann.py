@@ -469,6 +469,26 @@ def test_minhash_mersenne_fold_equals_modulo():
     assert np.array_equal(got, want)
 
 
+def test_token_hasher_cache_cap_is_transparent():
+    """The bounded vocabulary cache is an optimization only: a hasher whose
+    cache clears constantly must produce identical shingles to an uncapped
+    one, and the cache must never exceed its cap by more than one batch."""
+    from geojson_vt_ray.ray_pipeline.text import TokenHasher
+
+    capped = TokenHasher(3, cache_cap=5)
+    uncapped = TokenHasher(3)
+    rs = np.random.RandomState(7)
+    texts = [
+        " ".join(f"w{rs.randint(0, 40)}" for _ in range(rs.randint(1, 20)))
+        for _ in range(50)
+    ]
+    for t in texts:
+        assert np.array_equal(capped.shingles(t), uncapped.shingles(t))
+    # the cap bounds growth: after a clear the cache holds at most the
+    # tokens of the texts hashed since
+    assert len(capped._cache) <= 5 + 20
+
+
 def test_phash_near_dup_pairs_bruteforce_and_blocking(ray_session):
     """Image phash Hamming dedup (generic banding core over the
     input_hint phash column): equals the numpy all-pairs scan exactly,
