@@ -1,0 +1,170 @@
+"""MVT encoding: spec-pinned command streams + lossless round trips.
+
+The encoder's contract is vt-pbf's (the serializer the reference README
+points users at): transformed tile features in, MVT 2.1 bytes out.
+Byte-level cases are pinned straight from the vector-tile-spec 2.1
+examples; everything else is round-tripped through the from-scratch
+decoder over real reference-fixture tiles.
+"""
+
+import json
+import os
+
+from geojson_vt_ray.kernels.mvt import (
+    _geometry_commands,
+    decode_tile,
+    encode_layers,
+    encode_tile,
+)
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def test_point_command_stream_matches_spec_example():
+    # vector-tile-spec 2.1 §4.3.5.1: Point(25, 17) => [9, 50, 34]
+    assert _geometry_commands(1, [[25, 17]]) == [9, 50, 34]
+
+
+def test_multipoint_command_stream_matches_spec_example():
+    # §4.3.5.2: MultiPoint(5,7),(3,2) => MoveTo count 2, deltas
+    assert _geometry_commands(1, [[5, 7], [3, 2]]) == [17, 10, 14, 3, 9]
+
+
+def test_polygon_command_stream_matches_spec_example():
+    # §4.3.5.4: ring (3,6) (8,12) (20,34) closed =>
+    # [MoveTo(3,6), LineTo(5,6),(12,22), ClosePath]
+    ring = [[3, 6], [8, 12], [20, 34], [3, 6]]
+    assert _geometry_commands(3, [ring]) == [9, 6, 12, 18, 10, 12, 24, 44, 15]
+
+
+def test_linestring_cursor_persists_across_parts():
+    # §4.3.5.3: two lines (2,2)-(2,10)-(10,10) and (1,1)-(3,5): the second
+    # MoveTo is relative to the previous part's last point.
+    geom = [[[2, 2], [2, 10], [10, 10]], [[1, 1], [3, 5]]]
+    assert _geometry_commands(2, geom) == [
+        9, 4, 4, 18, 0, 16, 16, 0, 9, 17, 17, 10, 4, 8,
+    ]
+
+
+def test_value_types_round_trip():
+    feats = [
+        {
+            "type": 1,
+            "tags": {
+                "s": "name",
+                "i": 7,
+                "neg": -3,
+                "f": 2.5,
+                "b": True,
+                "b2": False,
+            },
+            "geometry": [[10, 20]],
+            "id": 42,
+        }
+    ]
+    out = decode_tile(encode_layers({"L": {"features": feats, "extent": 4096}}))
+    assert list(out) == ["L"]
+    f = out["L"]["features"][0]
+    assert out["L"]["extent"] == 4096
+    assert f["id"] == 42
+    assert f["tags"] == feats[0]["tags"]
+    assert f["geometry"] == [[10, 20]]
+
+
+def test_value_table_deduplicates():
+    feats = [
+        {"type": 1, "tags": {"a": "x", "b": "x"}, "geometry": [[0, 0]]},
+        {"type": 1, "tags": {"a": "x"}, "geometry": [[1, 1]]},
+    ]
+    blob = encode_layers({"L": {"features": feats, "extent": 4096}})
+    # one shared "x" value: the 3-byte value message appears exactly once
+    assert blob.count(b"\x0a\x01x") == 1
+    out = decode_tile(blob)
+    assert [f["tags"] for f in out["L"]["features"]] == [
+        {"a": "x", "b": "x"},
+        {"a": "x"},
+    ]
+
+
+def _round_trip_features(transformed: list, extent: int = 4096) -> bytes:
+    """Encode already-TRANSFORMED tile features (the `get_tile` output
+    shape) and assert the decode reproduces them exactly."""
+    blob = encode_tile({"features": transformed}, extent=extent)
+    dec = decode_tile(blob)["geojsonvt"]
+    assert dec["extent"] == extent
+    assert len(dec["features"]) == len(transformed)
+    for got, want in zip(dec["features"], transformed):
+        assert got["type"] == want["type"]
+        # reference features may carry null tags; MVT has no null tag set
+        assert got["tags"] == (want["tags"] or {})
+        assert got["geometry"] == want["geometry"]
+        if isinstance(want.get("id"), int) and want["id"] >= 0:
+            assert got["id"] == want["id"]
+    return blob
+
+
+def test_us_states_tiles_round_trip():
+    from geojson_vt_ray.engine import LocalGeoJSONVT
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        vt = LocalGeoJSONVT(json.load(f))
+    checked = 0
+    for z, x, y in [(0, 0, 0), (2, 0, 1), (7, 37, 48), (9, 148, 192)]:
+        tile = vt.get_tile(z, x, y)
+        if tile is None:
+            continue
+        blob = _round_trip_features(tile["features"])
+        assert len(blob) > 0
+        checked += 1
+    assert checked >= 2
+
+
+def test_points_and_linemetrics_tiles_round_trip():
+    from geojson_vt_ray.engine import LocalGeoJSONVT
+
+    with open(os.path.join(FIXTURES, "single-geom.json")) as f:
+        gj = json.load(f)
+    vt = LocalGeoJSONVT(gj)
+    tile = vt.get_tile(0, 0, 0)
+    if tile is not None:
+        _round_trip_features(tile["features"])
+
+
+def test_empty_tile_encodes_valid_empty_layer():
+    blob = encode_tile({"features": [], "z": 3, "x": 1, "y": 2})
+    dec = decode_tile(blob)
+    assert dec["geojsonvt"]["features"] == []
+
+
+def test_mvt_tiles_ray_stage(ray_session):
+    import ray.data
+
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.mvt_sink import mvt_tiles
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        gj = json.load(f)
+    pyramid = build_pyramid_fast(
+        dataset_from_geojson(gj), TilerOptions(max_zoom=4), z_handoff=2
+    )
+    out = mvt_tiles(pyramid).to_pandas()
+    src = pyramid.to_pandas()
+    assert len(out) == len(src)
+    assert set(out.columns) == {"z", "x", "y", "num_features", "mvt"}
+    # every blob decodes back to exactly the stored (already-transformed)
+    # tile features
+    src_idx = {
+        (r.z, r.x, r.y): r.features_json for r in src.itertuples(index=False)
+    }
+    checked = 0
+    for r in out.itertuples(index=False):
+        dec = decode_tile(r.mvt)["geojsonvt"]
+        want = json.loads(src_idx[(r.z, r.x, r.y)])
+        assert len(dec["features"]) == len(want) == r.num_features
+        for got, exp in zip(dec["features"], want):
+            assert got["geometry"] == exp["geometry"]
+            assert got["tags"] == (exp["tags"] or {})
+        checked += 1
+    assert checked == len(out) and checked > 20
