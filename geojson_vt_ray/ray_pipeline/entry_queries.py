@@ -927,10 +927,25 @@ def _norm_union(parts: list) -> Any:
 
 
 def q_rect_pyramid_raster(sf_dir: str):
-    """Flagship tiling pipeline + raster↔vector round trip in one driver
-    row (non-SQL): `q_rect_pyramid`'s full z0..z6 pyramid stats and
-    `q_rect_raster_vectorize`'s rasterize→polygonize tiles, unioned as
-    (kind, z, x, y, m1..m3)."""
+    """Flagship tiling pipeline + both egress round trips in one driver
+    row (non-SQL): the full z0..z6 rect pyramid's stats, the
+    rasterize→polygonize tiles of `q_rect_raster_vectorize`, and an MVT
+    encode→decode leg over the same pyramid rows, unioned as
+    (kind, z, x, y, m1..m3). The MVT leg's m1 (stored feature count) vs
+    m3 (feature count decoded back out of the binary) makes the driver
+    row itself witness the codec round trip. The pyramid is built ONCE
+    and shared by the stats and MVT legs."""
+    from ..datagen.rects import rect_geojson
+    from ..options import TilerOptions
+    from .cascade import build_pyramid_fast
+    from .mvt_sink import mvt_tiles
+    from .tiler import dataset_from_geojson
+
+    keys = _part_keys(sf_dir)
+    opts = TilerOptions(max_zoom=6)
+    tiles = build_pyramid_fast(
+        dataset_from_geojson(rect_geojson(keys[:500])), opts, z_handoff=4
+    ).materialize()
 
     def pyr_rows(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -958,10 +973,34 @@ def q_rect_pyramid_raster(sf_dir: str):
             }
         )
 
+    def mvt_rows(b: pa.Table) -> pa.Table:
+        from ..kernels.mvt import decode_tile
+
+        blobs = b.column("mvt").to_pylist()
+        decoded = [
+            float(len(decode_tile(blob)["geojsonvt"]["features"])) for blob in blobs
+        ]
+        return pa.table(
+            {
+                "kind": pa.array(["mvt"] * b.num_rows, pa.string()),
+                "z": b.column("z").cast(pa.int32()),
+                "x": b.column("x").cast(pa.int32()),
+                "y": b.column("y").cast(pa.int32()),
+                "m1": b.column("num_features").cast(pa.float64()),
+                "m2": pa.array([float(len(blob)) for blob in blobs], pa.float64()),
+                "m3": pa.array(decoded, pa.float64()),
+            }
+        )
+
     return _norm_union(
         [
-            q_rect_pyramid(sf_dir).map_batches(pyr_rows, batch_format="pyarrow"),
+            tiles.select_columns(
+                ["z", "x", "y", "num_features", "num_points", "num_simplified"]
+            ).map_batches(pyr_rows, batch_format="pyarrow"),
             q_rect_raster_vectorize(sf_dir).map_batches(ras_rows, batch_format="pyarrow"),
+            mvt_tiles(tiles, extent=opts.extent).map_batches(
+                mvt_rows, batch_format="pyarrow"
+            ),
         ]
     )
 
