@@ -528,6 +528,23 @@ class TileServer:
             "numFeatures": nfe[i],
         }
 
+    def get_tile_mvt(
+        self, z: int, x: int, y: int, extent: int = 4096, layer_name: str = "geojsonvt"
+    ) -> Optional[bytes]:
+        """The tile as Mapbox Vector Tile bytes (the vt-pbf serving path,
+        `kernels/mvt.py`) — what an HTTP tile endpoint returns directly.
+        ``extent`` must match the pyramid's TilerOptions extent. None for
+        a tile outside the pyramid, a valid empty-layer blob for an
+        in-pyramid tile with no features (the empty ≠ missing contract)."""
+        tile = self.get_tile(z, x, y)
+        if tile is None:
+            return None
+        from ..kernels.mvt import encode_layers
+
+        return encode_layers(
+            {layer_name: {"features": tile["features"], "extent": extent}}
+        )
+
 
 def compact_pyramid_updates(out_dir: str) -> dict:
     """Merge ``_updates/upd_*`` overlays back into the base ``bins/`` pyramid.

@@ -136,6 +136,39 @@ def test_empty_tile_encodes_valid_empty_layer():
     assert dec["geojsonvt"]["features"] == []
 
 
+def test_tile_server_serves_mvt(ray_session, tmp_path):
+    """TileServer.get_tile_mvt returns bytes that decode to exactly the
+    features get_tile serves; missing tiles return None."""
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import TileServer, write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        gj = json.load(f)
+    out = str(tmp_path / "pyr")
+    write_pyramid_fast(
+        dataset_from_geojson(gj), TilerOptions(max_zoom=3), out, z_handoff=1
+    )
+    server = TileServer(out)
+    checked = 0
+    for z, x, y in [(0, 0, 0), (1, 0, 0), (2, 0, 1), (3, 1, 3)]:
+        tile = server.get_tile(z, x, y)
+        blob = server.get_tile_mvt(z, x, y)
+        if tile is None:
+            assert blob is None
+            continue
+        dec = decode_tile(blob)["geojsonvt"]
+        assert len(dec["features"]) == len(tile["features"])
+        for got, want in zip(dec["features"], tile["features"]):
+            assert got["geometry"] == want["geometry"]
+            assert got["tags"] == (want["tags"] or {})
+        checked += 1
+    assert checked >= 2
+    assert server.get_tile_mvt(3, 0, 7) is None or isinstance(
+        server.get_tile_mvt(3, 0, 7), bytes
+    )
+
+
 def test_mvt_tiles_ray_stage(ray_session):
     import ray.data
 
