@@ -62,3 +62,101 @@ def mvt_tiles(
         )
 
     return pyramid.map_batches(encode_batch, batch_format="pyarrow")
+
+
+def mvt_join_layers(
+    pyramids: dict[str, "ray.data.Dataset"],
+    extent: int = 4096,
+    n_partitions: int = 256,
+) -> "ray.data.Dataset":
+    """Merge several pyramids into multi-layer MVT tiles — the standard
+    basemap shape (e.g. a roads layer and a buildings layer rendered from
+    one tile fetch).
+
+    Each input is a pyramid tile Dataset (z, x, y, features_json); the
+    output has one row per (z, x, y) present in ANY input, with an `mvt`
+    blob containing one MVT layer per source that has that tile (layers
+    keep the dict's key as their name; a source without the tile simply
+    contributes no layer, mirroring how basemap tilesets omit empty
+    layers).
+
+    Scale shape: tile keys number in the millions at deep zooms, so the
+    join follows the repo's bounded-dispatch rule — tkey hashes onto
+    ``n_partitions`` partitions (`blocking.mix_to_partitions`) and one
+    task per partition segments by tkey vectorized inside
+    (`lexsort_segments`); the per-tile encode loop runs inside the task,
+    never as a Python dispatch per distinct tile.
+    """
+    import numpy as np
+
+    from .blocking import lexsort_segments, mix_to_partitions
+
+    def tag(name: str):
+        def add(batch: pa.Table) -> pa.Table:
+            z = np.asarray(batch.column("z").to_numpy(), dtype=np.int64)
+            x = np.asarray(batch.column("x").to_numpy(), dtype=np.int64)
+            y = np.asarray(batch.column("y").to_numpy(), dtype=np.int64)
+            tkey = (z << 58) | (x << 29) | y
+            return pa.table(
+                {
+                    "pk": pa.array(mix_to_partitions(tkey, n_partitions)),
+                    "tkey": pa.array(tkey),
+                    "layer": pa.array([name] * batch.num_rows, pa.string()),
+                    "features_json": batch.column("features_json").cast(pa.string()),
+                }
+            )
+
+        return add
+
+    tagged = None
+    for name, ds in pyramids.items():
+        part = ds.map_batches(tag(name), batch_format="pyarrow")
+        tagged = part if tagged is None else tagged.union(part)
+
+    order = list(pyramids)
+
+    def encode_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "z": pa.array([], pa.int32()),
+                "x": pa.array([], pa.int32()),
+                "y": pa.array([], pa.int32()),
+                "num_layers": pa.array([], pa.int64()),
+                "mvt": pa.array([], pa.binary()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        tkey = group.column("tkey").to_numpy()
+        names = group.column("layer").to_pylist()
+        fjs = group.column("features_json").to_pylist()
+        sort, starts, ends = lexsort_segments([tkey])
+        zs, xs, ys, nl, blobs = [], [], [], [], []
+        for s, e in zip(starts, ends):
+            idxs = sort[s:e]
+            k = int(tkey[idxs[0]])
+            present = {
+                names[i]: {
+                    "features": json.loads(fjs[i]) if fjs[i] else [],
+                    "extent": extent,
+                }
+                for i in idxs
+            }
+            # deterministic layer order: the caller's dict order
+            layers = {n: present[n] for n in order if n in present}
+            zs.append(k >> 58)
+            xs.append((k >> 29) & ((1 << 29) - 1))
+            ys.append(k & ((1 << 29) - 1))
+            nl.append(len(layers))
+            blobs.append(encode_layers(layers))
+        return pa.table(
+            {
+                "z": pa.array(zs, pa.int32()),
+                "x": pa.array(xs, pa.int32()),
+                "y": pa.array(ys, pa.int32()),
+                "num_layers": pa.array(nl, pa.int64()),
+                "mvt": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return tagged.groupby("pk").map_groups(encode_partition, batch_format="pyarrow")

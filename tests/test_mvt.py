@@ -136,6 +136,59 @@ def test_empty_tile_encodes_valid_empty_layer():
     assert dec["geojsonvt"]["features"] == []
 
 
+def test_mvt_join_layers_multilayer_tiles(ray_session):
+    """Two pyramids merge into multi-layer tiles: every (z,x,y) in either
+    source appears once, carrying exactly the layers whose source has that
+    tile, each decoding to that source's stored features."""
+    from geojson_vt_ray.datagen.rects import rect_geojson
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.mvt_sink import mvt_join_layers
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        states_gj = json.load(f)
+    opts = TilerOptions(max_zoom=3)
+    states = build_pyramid_fast(
+        dataset_from_geojson(states_gj), opts, z_handoff=1
+    ).materialize()
+    rects = build_pyramid_fast(
+        dataset_from_geojson(rect_geojson(list(range(1, 40)))), opts, z_handoff=1
+    ).materialize()
+
+    out = mvt_join_layers({"states": states, "rects": rects}).to_pandas()
+
+    def tile_map(ds):
+        df = ds.to_pandas()
+        return {
+            (int(r.z), int(r.x), int(r.y)): json.loads(r.features_json)
+            for r in df.itertuples(index=False)
+        }
+
+    want_states, want_rects = tile_map(states), tile_map(rects)
+    assert set(zip(out.z, out.x, out.y)) == set(want_states) | set(want_rects)
+    assert len(out) == len(set(want_states) | set(want_rects))
+    both = multi = 0
+    for r in out.itertuples(index=False):
+        key = (int(r.z), int(r.x), int(r.y))
+        dec = decode_tile(r.mvt)
+        expect_layers = {n for n, m in (("states", want_states), ("rects", want_rects)) if key in m}
+        assert set(dec) == expect_layers and r.num_layers == len(expect_layers)
+        for name, want_map in (("states", want_states), ("rects", want_rects)):
+            if key not in want_map:
+                continue
+            want = want_map[key]
+            got = dec[name]["features"]
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                assert g["geometry"] == w["geometry"]
+                assert g["tags"] == (w["tags"] or {})
+        if len(expect_layers) == 2:
+            multi += 1
+        both += 1
+    assert multi > 0  # the sources genuinely overlap somewhere
+
+
 def test_tile_server_serves_mvt(ray_session, tmp_path):
     """TileServer.get_tile_mvt returns bytes that decode to exactly the
     features get_tile serves; missing tiles return None."""
