@@ -27,7 +27,8 @@ polygon rings arrive closed from the clipper and are encoded with the
 final point dropped + ClosePath; feature ids are emitted only when they
 are non-negative integers (MVT ids are uint64 — string/other ids stay
 in tags only if the caller put them there); integer tag values use
-int(4) when >= 0 and sint(6) when negative, floats use double(3).
+int(4) when >= 0 and sint(6) when negative, floats use double(3);
+null-valued tags are omitted (MVT has no null — tippecanoe semantics).
 
 A decoder (`decode_tile`) is included for round-trip tests and for
 consumers that want to inspect produced tiles without a JS stack.
@@ -122,7 +123,7 @@ def _encode_value(v) -> bytes:
     elif isinstance(v, (float, np.floating)):
         _tag(buf, 3, 1)
         buf.extend(np.float64(v).tobytes())
-    else:  # null or nested — MVT has no null; stringify deterministically
+    else:  # nested structures — stringify deterministically
         _bytes_field(buf, 1, str(v).encode("utf-8"))
     return bytes(buf)
 
@@ -147,6 +148,8 @@ def encode_layers(layers: dict[str, dict]) -> bytes:
                 _varint(fbuf, int(fid))
             tags: list[int] = []
             for k, v in (f.get("tags") or {}).items():
+                if v is None:
+                    continue  # MVT has no null value type; omit (tippecanoe semantics)
                 ki = keys.setdefault(k, len(keys))
                 vkey = (type(v).__name__, v if not isinstance(v, float) else v.hex())
                 vi = values.get(vkey)

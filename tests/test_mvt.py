@@ -95,8 +95,9 @@ def _round_trip_features(transformed: list, extent: int = 4096) -> bytes:
     assert len(dec["features"]) == len(transformed)
     for got, want in zip(dec["features"], transformed):
         assert got["type"] == want["type"]
-        # reference features may carry null tags; MVT has no null tag set
-        assert got["tags"] == (want["tags"] or {})
+        # null tag set and null-VALUED tags are both omitted (MVT has no null)
+        want_tags = {k: v for k, v in (want["tags"] or {}).items() if v is not None}
+        assert got["tags"] == want_tags
         assert got["geometry"] == want["geometry"]
         if isinstance(want.get("id"), int) and want["id"] >= 0:
             assert got["id"] == want["id"]
@@ -134,6 +135,22 @@ def test_empty_tile_encodes_valid_empty_layer():
     blob = encode_tile({"features": [], "z": 3, "x": 1, "y": 2})
     dec = decode_tile(blob)
     assert dec["geojsonvt"]["features"] == []
+
+
+def test_cluster_tiles_round_trip():
+    """Supercluster tiles (cluster markers with point_count/cluster_id
+    tags + leaf points) encode and decode losslessly — the other tile
+    type a map server hands to renderers."""
+    from geojson_vt_ray.cluster import ClusterIndex
+
+    with open(os.path.join(FIXTURES, "places.json")) as f:
+        places = json.load(f)
+    idx = ClusterIndex()
+    idx.load_geojson_points(places["features"])
+    tile = idx.get_tile(0, 0, 0)
+    assert tile is not None and len(tile["features"]) > 0
+    assert any((f["tags"] or {}).get("cluster") for f in tile["features"])
+    _round_trip_features(tile["features"], extent=512)
 
 
 def test_mvt_join_layers_multilayer_tiles(ray_session):
