@@ -293,6 +293,22 @@ def run_benchmarks() -> dict:
     extra["update_speedup_vs_build"] = round(
         timings["us_states_build_z13"] / timings["us_states_update_1_z13"], 2
     )
+
+    # MVT egress over the just-written base pyramid — the real serving
+    # path: z-partitioned parquet off storage -> per-tile MVT blobs.
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.mvt_sink import mvt_tiles
+
+    timed(
+        "us_states_mvt_z13",
+        lambda: mvt_tiles(
+            ray.data.read_parquet(
+                os.path.join(upd_dir, "bins"),
+                columns=["z", "x", "y", "features_json"],
+            )
+        ).count(),
+    )
     shutil.rmtree(upd_dir, ignore_errors=True)
 
     # ---- sf-table pipelines -------------------------------------------------
