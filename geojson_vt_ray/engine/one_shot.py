@@ -25,3 +25,23 @@ def geojson_to_tile(
         left = clip(features, pow2, x - buffer, x + 1 + buffer, AXIS_X, -1, 2, lm)
         features = clip(left or [], pow2, y - buffer, y + 1 + buffer, AXIS_Y, -1, 2, lm)
     return transform_tile(create_tile(features or [], z, x, y, options), options.extent)
+
+
+def geojson_to_mvt(
+    data: dict,
+    z: int,
+    x: int,
+    y: int,
+    options: Optional[TilerOptions] = None,
+    layer_name: str = "geojsonvt",
+) -> bytes:
+    """One-shot GeoJSON → Mapbox Vector Tile bytes for a single tile —
+    `geojson_to_tile` composed with the MVT codec (`kernels/mvt.py`),
+    matching the reference ecosystem's geoJSONToTile → vt-pbf one-liner."""
+    from ..kernels.mvt import encode_layers
+
+    options = options or TilerOptions()
+    tile = geojson_to_tile(data, z, x, y, options)
+    return encode_layers(
+        {layer_name: {"features": tile["features"], "extent": options.extent}}
+    )

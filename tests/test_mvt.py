@@ -137,6 +137,26 @@ def test_empty_tile_encodes_valid_empty_layer():
     assert dec["geojsonvt"]["features"] == []
 
 
+def test_one_shot_geojson_to_mvt():
+    """The geoJSONToTile -> vt-pbf one-liner: bytes decode to the same
+    features geojson_to_tile produces for that tile."""
+    from geojson_vt_ray.engine.one_shot import geojson_to_mvt, geojson_to_tile
+
+    from geojson_vt_ray.options import TilerOptions
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        gj = json.load(f)
+    opts = TilerOptions(clip=True)  # the one-shot's clip is off by default
+    want = geojson_to_tile(gj, 7, 37, 48, opts)["features"]
+    dec = decode_tile(geojson_to_mvt(gj, 7, 37, 48, opts))["geojsonvt"]
+    assert len(dec["features"]) == len(want) > 0
+    for got, exp in zip(dec["features"], want):
+        assert got["geometry"] == exp["geometry"]
+        assert got["tags"] == {
+            k: v for k, v in (exp["tags"] or {}).items() if v is not None
+        }
+
+
 def test_cluster_tiles_round_trip():
     """Supercluster tiles (cluster markers with point_count/cluster_id
     tags + leaf points) encode and decode losslessly — the other tile
