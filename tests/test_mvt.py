@@ -137,6 +137,58 @@ def test_empty_tile_encodes_valid_empty_layer():
     assert dec["geojsonvt"]["features"] == []
 
 
+def test_codec_fuzz_round_trip():
+    """Property fuzz: arbitrary feature sets survive encode→decode exactly
+    (coords across the sint32 delta range, all tag value types, multi-part
+    geometries, duplicate values across features)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-100_000, max_value=100_000)
+    point = st.tuples(coord, coord).map(list)
+    tag_val = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=12),
+    )
+    tags = st.dictionaries(st.text(min_size=1, max_size=8), tag_val, max_size=5)
+
+    def close(ring):
+        return ring + [list(ring[0])]
+
+    feature = st.one_of(
+        st.builds(
+            lambda pts, t: {"type": 1, "geometry": pts, "tags": t},
+            st.lists(point, min_size=1, max_size=6),
+            tags,
+        ),
+        st.builds(
+            lambda parts, t: {"type": 2, "geometry": parts, "tags": t},
+            st.lists(st.lists(point, min_size=2, max_size=6), min_size=1, max_size=3),
+            tags,
+        ),
+        st.builds(
+            lambda rings, t: {"type": 3, "geometry": [close(r) for r in rings], "tags": t},
+            st.lists(st.lists(point, min_size=3, max_size=6), min_size=1, max_size=3),
+            tags,
+        ),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(feature, max_size=8))
+    def check(feats):
+        dec = decode_tile(encode_layers({"L": {"features": feats, "extent": 4096}}))
+        got = dec["L"]["features"] if feats else dec.get("L", {"features": []})["features"]
+        assert len(got) == len(feats)
+        for g, w in zip(got, feats):
+            assert g["type"] == w["type"]
+            assert g["geometry"] == w["geometry"]
+            assert g["tags"] == {k: v for k, v in w["tags"].items() if v is not None}
+
+    check()
+
+
 def test_one_shot_geojson_to_mvt():
     """The geoJSONToTile -> vt-pbf one-liner: bytes decode to the same
     features geojson_to_tile produces for that tile."""
