@@ -160,3 +160,92 @@ def mvt_join_layers(
         )
 
     return tagged.groupby("pk").map_groups(encode_partition, batch_format="pyarrow")
+
+
+def tilejson_for_pyramid(
+    pyramid: "ray.data.Dataset",
+    name: str = "geojsonvt",
+    tiles_url: str = "{z}/{x}/{y}.mvt",
+) -> dict:
+    """TileJSON 3.0 metadata for a pyramid — what a MapLibre style's
+    vector source consumes next to the .mvt tiles: zoom range, geographic
+    bounds, and the `vector_layers` field schema (key → MVT value type).
+
+    Everything is computed distributed with small mergeable partials: one
+    pass over tile rows emits per-batch (min/max zoom, deepest-zoom tile
+    bbox, tag key → type) rows, reduced on the driver (the reduction is
+    O(distinct keys + batches), never O(tiles)). Field-type conflicts
+    across features resolve to "String" (TileJSON's convention for mixed
+    types)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        zs = batch.column("z").to_numpy()
+        xs = batch.column("x").to_numpy()
+        ys = batch.column("y").to_numpy()
+        fjs = batch.column("features_json").to_pylist()
+        zmax = int(zs.max())
+        deep = zs == zmax
+        fields: dict[str, str] = {}
+        for fj in fjs:
+            for f in json.loads(fj) if fj else []:
+                for k, v in (f.get("tags") or {}).items():
+                    if v is None:
+                        continue
+                    t = (
+                        "Boolean"
+                        if isinstance(v, bool)
+                        else "Number"
+                        if isinstance(v, (int, float))
+                        else "String"
+                    )
+                    if fields.setdefault(k, t) != t:
+                        fields[k] = "String"
+        return pa.table(
+            {
+                "zmin": pa.array([int(zs.min())], pa.int32()),
+                "zmax": pa.array([zmax], pa.int32()),
+                "xmin": pa.array([int(xs[deep].min())], pa.int64()),
+                "xmax": pa.array([int(xs[deep].max())], pa.int64()),
+                "ymin": pa.array([int(ys[deep].min())], pa.int64()),
+                "ymax": pa.array([int(ys[deep].max())], pa.int64()),
+                "fields_json": pa.array([json.dumps(fields)], pa.string()),
+            }
+        )
+
+    parts = pyramid.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return {"tilejson": "3.0.0", "name": name, "tiles": [tiles_url],
+                "vector_layers": [{"id": name, "fields": {}}]}
+    zmax = int(parts.zmax.max())
+    at_deep = parts[parts.zmax == zmax]
+    z2 = float(1 << zmax)
+    from ..kernels.project import unproject_x, unproject_y
+
+    west = unproject_x(float(at_deep.xmin.min()) / z2)
+    east = unproject_x((float(at_deep.xmax.max()) + 1) / z2)
+    north = unproject_y(float(at_deep.ymin.min()) / z2)
+    south = unproject_y((float(at_deep.ymax.max()) + 1) / z2)
+    fields: dict[str, str] = {}
+    for fj in parts.fields_json:
+        for k, t in json.loads(fj).items():
+            if fields.setdefault(k, t) != t:
+                fields[k] = "String"
+    zmin = int(parts.zmin.min())
+    return {
+        "tilejson": "3.0.0",
+        "name": name,
+        "tiles": [tiles_url],
+        "minzoom": zmin,
+        "maxzoom": zmax,
+        "bounds": [
+            round(west, 6), round(south, 6), round(east, 6), round(north, 6)
+        ],
+        "center": [
+            round((west + east) / 2, 6),
+            round((south + north) / 2, 6),
+            (zmin + zmax) // 2,
+        ],
+        "vector_layers": [
+            {"id": name, "minzoom": zmin, "maxzoom": zmax, "fields": fields}
+        ],
+    }

@@ -278,6 +278,31 @@ def test_mvt_join_layers_multilayer_tiles(ray_session):
     assert multi > 0  # the sources genuinely overlap somewhere
 
 
+def test_tilejson_for_pyramid(ray_session):
+    """TileJSON metadata: zoom range, bounds covering the data (computed
+    from deepest-zoom tile coverage), and the tag field schema."""
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.mvt_sink import tilejson_for_pyramid
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        gj = json.load(f)
+    pyr = build_pyramid_fast(
+        dataset_from_geojson(gj), TilerOptions(max_zoom=4), z_handoff=2
+    )
+    tj = tilejson_for_pyramid(pyr, name="states")
+    assert tj["tilejson"] == "3.0.0"
+    assert tj["minzoom"] == 0 and tj["maxzoom"] == 4
+    west, south, east, north = tj["bounds"]
+    assert west < -170 and east > -67  # Alaska through the east coast
+    assert south < 25 and north > 70
+    assert west < east and south < north
+    (layer,) = tj["vector_layers"]
+    assert layer["id"] == "states"
+    assert layer["fields"] == {"name": "String", "density": "Number"}
+
+
 def test_tile_server_serves_mvt(ray_session, tmp_path):
     """TileServer.get_tile_mvt returns bytes that decode to exactly the
     features get_tile serves; missing tiles return None."""
