@@ -151,7 +151,17 @@ def encode_layers(layers: dict[str, dict]) -> bytes:
                 if v is None:
                     continue  # MVT has no null value type; omit (tippecanoe semantics)
                 ki = keys.setdefault(k, len(keys))
-                vkey = (type(v).__name__, v if not isinstance(v, float) else v.hex())
+                if isinstance(v, float):
+                    vkey = ("float", v.hex())
+                else:
+                    try:
+                        hash(v)
+                        vkey = (type(v).__name__, v)
+                    except TypeError:
+                        # Unhashable (list/dict tag values — routine in GeoJSON
+                        # properties): dedup on the stringified form, matching
+                        # the _encode_value nested-structure branch exactly.
+                        vkey = ("str", str(v))
                 vi = values.get(vkey)
                 if vi is None:
                     vi = values[vkey] = len(value_blobs)
@@ -220,6 +230,12 @@ def _decode_value(data: bytes) -> object:
             raw = data[pos : pos + 8]
             pos += 8
             val = float(np.frombuffer(raw, np.float64)[0])
+        elif wire == 5:
+            # spec Value.float_value (field 2) — 4-byte IEEE float; emitted
+            # by external producers (e.g. tippecanoe); never by our encoder
+            raw = data[pos : pos + 4]
+            pos += 4
+            val = float(np.frombuffer(raw, np.float32)[0])
         else:
             v, pos = _read_varint(data, pos)
             if field == 6:
@@ -294,6 +310,10 @@ def decode_tile(data: bytes) -> dict[str, dict]:
                     keys.append(blob.decode("utf-8"))
                 elif field == 4:
                     values.append(_decode_value(blob))
+            elif wire == 1:
+                p += 8  # skip fixed64 from foreign producers
+            elif wire == 5:
+                p += 4  # skip fixed32 from foreign producers
             else:
                 v, p = _read_varint(payload, p)
                 if field == 5:
@@ -322,6 +342,10 @@ def decode_tile(data: bytes) -> dict[str, dict]:
                         while s < len(sub):
                             c, s = _read_varint(sub, s)
                             cmds.append(c)
+                elif wire == 1:
+                    q += 8
+                elif wire == 5:
+                    q += 4
                 else:
                     v, q = _read_varint(blob, q)
                     if field == 1:

@@ -368,3 +368,69 @@ def test_mvt_tiles_ray_stage(ray_session):
             assert got["tags"] == (exp["tags"] or {})
         checked += 1
     assert checked == len(out) and checked > 20
+
+
+def test_unhashable_tag_values_encode_and_dedup():
+    # GeoJSON properties routinely hold arrays/objects; they encode as
+    # their stringified form (the _encode_value nested branch) and the
+    # value table must dedup them without raising (ADVICE r4).
+    feats = [
+        {"type": 1, "tags": {"arr": [1, 2], "obj": {"k": 1}}, "geometry": [[0, 0]]},
+        {"type": 1, "tags": {"arr": [1, 2]}, "geometry": [[1, 1]]},
+    ]
+    blob = encode_layers({"L": {"features": feats, "extent": 4096}})
+    out = decode_tile(blob)["L"]["features"]
+    assert out[0]["tags"] == {"arr": "[1, 2]", "obj": "{'k': 1}"}
+    assert out[1]["tags"] == {"arr": "[1, 2]"}
+    # shared "[1, 2]" string value appears once in the value table
+    assert blob.count(b"[1, 2]") == 1
+
+
+def test_decode_value_float32_wire_type():
+    # spec Value.float_value (field 2, wire type 5): produced by external
+    # encoders (tippecanoe); must parse as float32, not desync (ADVICE r4).
+    import struct
+
+    from geojson_vt_ray.kernels.mvt import _decode_value
+
+    assert _decode_value(bytes([0x15]) + struct.pack("<f", 2.5)) == 2.5
+    # trailing string field after the float still parses (no desync)
+    payload = bytes([0x15]) + struct.pack("<f", 1.5) + b"\x0a\x02hi"
+    assert _decode_value(payload) == "hi"
+
+
+def test_decoder_skips_foreign_fixed_fields():
+    # A foreign producer may attach fixed32/fixed64 fields at layer or
+    # feature level; the decoder must skip them by wire type.
+    import struct
+
+    feats = [{"type": 1, "tags": {"a": 1}, "geometry": [[3, 4]]}]
+    blob = bytearray(encode_layers({"L": {"features": feats, "extent": 4096}}))
+    # splice an unknown layer-level fixed64 (field 13, wire 1) into the
+    # layer payload: re-frame the outer message
+    _, p0 = _read_varint_test(blob, 0)
+    ln, p1 = _read_varint_test(blob, p0)
+    layer = blob[p1 : p1 + ln] + bytes([(13 << 3) | 1]) + struct.pack("<d", 9.9)
+    out = bytearray()
+    out.append((3 << 3) | 2)
+    v = len(layer)
+    while v > 0x7F:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    out.extend(layer)
+    dec = decode_tile(bytes(out))["L"]
+    assert dec["features"][0]["tags"] == {"a": 1}
+    assert dec["features"][0]["geometry"] == [[3, 4]]
+
+
+def _read_varint_test(data, pos):
+    out = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
