@@ -295,6 +295,24 @@ def _emit_level(
     feat_rings_start = ws.part_off[ws.feat_off[:-1]]
     feat_rings_end = ws.part_off[ws.feat_off[1:]]
 
+    # optional in-drill MVT emission (byte-identical to features_json →
+    # mvt_sink.mvt_tiles, but geometry bytes come straight from the level's
+    # integer arrays — no JSON round trip): builders carrying an `mvt_cfg`
+    # get one vectorized command-buffer pass per level plus a cheap
+    # per-feature assembly that rides the existing emission loop.
+    mvt_cfg = getattr(out, "mvt_cfg", None)
+    if mvt_cfg is not None:
+        from .mvt_fast import level_mvt_geometry, mvt_static_from_meta
+
+        gbuf, fgs, fge = level_mvt_geometry(
+            ix, iy, kept_off, kept_per_ring, surv, ring_cls, rf,
+            F, CLASS_POINTS, CLASS_POLYS,
+        )
+        fgs_l = fgs.tolist()
+        fge_l = fge.tolist()
+        mvt_cache = out.mvt_meta_cache
+        tile_mvt: list[list] = [[] for _ in range(T)]
+
     # string assembly: per-feature prefix/suffix (type+tags / id) are static
     # and pre-serialized in meta; only geometry JSON varies per tile, and it
     # is pure int lists (C-fast json path). Concatenation reproduces
@@ -333,6 +351,12 @@ def _emit_level(
             if not geom:
                 continue
         tile_feats[ti].append(prefix + dumps(geom) + suffix)
+        if mvt_cfg is not None:
+            ck = (prefix, suffix)
+            static = mvt_cache.get(ck)
+            if static is None:
+                static = mvt_cache[ck] = mvt_static_from_meta(prefix, suffix)
+            tile_mvt[ti].append((static, fgs_l[fi], fge_l[fi]))
 
     xs_l = tiles_xy[:, 0].tolist()
     ys_l = tiles_xy[:, 1].tolist()
@@ -340,10 +364,23 @@ def _emit_level(
         ((np.int64(1) << z) * tiles_xy[:, 1] + tiles_xy[:, 0]) * 32 + z
     ).tolist()
     fj = ["[" + ", ".join(fl) + "]" if fl else "[]" for fl in tile_feats]
+    mvt_blobs = None
+    empty_mvt = None
+    if mvt_cfg is not None:
+        from .mvt_fast import assemble_tile_mvt
+
+        layer_bytes, extent_ = out.mvt_layer_bytes, mvt_cfg[1]
+        empty_mvt = out.mvt_empty_blob
+        mvt_blobs = [
+            assemble_tile_mvt(entries, gbuf, layer_bytes, extent_)
+            if entries
+            else empty_mvt
+            for entries in tile_mvt
+        ]
     out.add_tiles_bulk(
         z, xs_l, ys_l, tkeys, fj,
         num_points.tolist(), num_simplified.tolist(), num_features.tolist(),
-        min_seq, max_seq,
+        min_seq, max_seq, mvt_blobs,
     )
     if len(empty_tiles_xy):
         ne = len(empty_tiles_xy)
@@ -353,6 +390,7 @@ def _emit_level(
         out.add_tiles_bulk(
             z, empty_tiles_xy[:, 0].tolist(), empty_tiles_xy[:, 1].tolist(), etk,
             ["[]"] * ne, [0] * ne, [0] * ne, [0] * ne, [b""] * ne, [b""] * ne,
+            None if empty_mvt is None else [empty_mvt] * ne,
         )
 
 

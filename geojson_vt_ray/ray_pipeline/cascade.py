@@ -687,9 +687,11 @@ class TileRowBuilder:
     else — skipping the 24-column level schema saves ~15% drill CPU)."""
 
     __slots__ = ("kind", "tkey", "z", "x", "y", "features_json", "num_points",
-                 "num_simplified", "num_features", "min_seq", "max_seq", "payload")
+                 "num_simplified", "num_features", "min_seq", "max_seq", "payload",
+                 "mvt", "mvt_cfg", "mvt_meta_cache", "mvt_layer_bytes",
+                 "mvt_empty_blob")
 
-    def __init__(self) -> None:
+    def __init__(self, mvt_cfg: "Optional[tuple[str, int]]" = None) -> None:
         self.kind: list[int] = []
         self.tkey: list[int] = []
         self.z: list[int] = []
@@ -702,6 +704,20 @@ class TileRowBuilder:
         self.min_seq: list[bytes] = []
         self.max_seq: list[bytes] = []
         self.payload: list[bytes] = []
+        self.mvt: list[bytes] = []
+        # (layer_name, extent) switches the drill's in-array MVT emission on
+        # (`drill_vec._emit_level`); rows from non-drill paths (scalar tiles,
+        # partial/chunk merges) keep mvt=b"" and are completed byte-
+        # identically from features_json by `mvt_sink.fill_mvt`.
+        self.mvt_cfg = mvt_cfg
+        if mvt_cfg is not None:
+            from ..kernels.mvt_fast import assemble_tile_mvt
+
+            self.mvt_meta_cache: dict = {}
+            self.mvt_layer_bytes = mvt_cfg[0].encode("utf-8")
+            self.mvt_empty_blob = assemble_tile_mvt(
+                [], b"", self.mvt_layer_bytes, mvt_cfg[1]
+            )
 
     def add_tile(
         self,
@@ -725,6 +741,7 @@ class TileRowBuilder:
         self.min_seq.append(min_seq)
         self.max_seq.append(max_seq)
         self.payload.append(b"")
+        self.mvt.append(b"")
 
     def add_merged(
         self,
@@ -752,6 +769,7 @@ class TileRowBuilder:
         self.min_seq.append(min_seq)
         self.max_seq.append(max_seq)
         self.payload.append(b"")
+        self.mvt.append(b"")
 
     def add_tiles_bulk(
         self,
@@ -765,6 +783,7 @@ class TileRowBuilder:
         num_features: list,
         min_seq: list,
         max_seq: list,
+        mvt: "Optional[list]" = None,
     ) -> None:
         """Append one level's tiles in bulk (vectorized drill emission)."""
         n = len(xs)
@@ -780,6 +799,7 @@ class TileRowBuilder:
         self.min_seq.extend(min_seq)
         self.max_seq.extend(max_seq)
         self.payload.extend([b""] * n)
+        self.mvt.extend(mvt if mvt is not None else [b""] * n)
 
     def add_chunk(self, z: int, x: int, y: int, payload: bytes) -> None:
         from ..arrowio.codec import tile_key
@@ -796,6 +816,7 @@ class TileRowBuilder:
         self.min_seq.append(b"")
         self.max_seq.append(b"")
         self.payload.append(payload)
+        self.mvt.append(b"")
 
     def table(self) -> pa.Table:
         return pa.table(
@@ -812,6 +833,7 @@ class TileRowBuilder:
                 "min_seq": pa.array(self.min_seq, pa.binary()),
                 "max_seq": pa.array(self.max_seq, pa.binary()),
                 "payload": pa.array(self.payload, pa.binary()),
+                "mvt": pa.array(self.mvt, pa.binary()),
             }
         )
 
@@ -967,15 +989,22 @@ class UnifiedDrillOrMerge:
     chunk threshold is set). Both paths emit the narrow tile-row schema.
     """
 
-    def __init__(self, z: int, options: TilerOptions, chunk_threshold: Optional[float]):
+    def __init__(
+        self,
+        z: int,
+        options: TilerOptions,
+        chunk_threshold: Optional[float],
+        mvt_cfg: "Optional[tuple[str, int]]" = None,
+    ):
         self.z = z
         self.options = options
         self.chunk_threshold = chunk_threshold
+        self.mvt_cfg = mvt_cfg
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        out = TileRowBuilder()
+        out = TileRowBuilder(self.mvt_cfg)
         group = group.take(pc.sort_indices(group.column("tkey")))
         tkeys = group.column("tkey").to_numpy()
         bounds = np.nonzero(np.concatenate(([True], tkeys[1:] != tkeys[:-1])))[0]
@@ -1049,14 +1078,20 @@ class ChunkDrill:
     re-deferring any still-heavy grandchild subtree (the driver loops until
     no chunks remain)."""
 
-    def __init__(self, options: TilerOptions, chunk_threshold: float):
+    def __init__(
+        self,
+        options: TilerOptions,
+        chunk_threshold: float,
+        mvt_cfg: "Optional[tuple[str, int]]" = None,
+    ):
         self.options = options
         self.chunk_threshold = chunk_threshold
+        self.mvt_cfg = mvt_cfg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pickle
 
-        out = TileRowBuilder()
+        out = TileRowBuilder(self.mvt_cfg)
         for payload in batch.column("payload").to_pylist():
             chunk, z, x, y = pickle.loads(payload)
             bbox = {
@@ -1187,6 +1222,8 @@ def build_pyramid_fast(
     bin_plan: "Optional[dict]" = None,
     keep_skey: bool = False,
     skip_bins: "Optional[set[int]]" = None,
+    emit_mvt: bool = False,
+    mvt_layer: str = "geojsonvt",
 ) -> "ray.data.Dataset":
     """Production pyramid: ONE cascade map stage to ``z_handoff`` (shallow
     tiles assembled as mergeable partials), ONE cost-balanced groupby that
@@ -1217,6 +1254,7 @@ def build_pyramid_fast(
     import ray as _ray
 
     options = options.validate()
+    mvt_cfg = (mvt_layer, options.extent) if emit_mvt else None
     z_handoff = min(z_handoff, options.max_zoom)
     ncpu = float(_ray.cluster_resources().get("CPU", 8))
     n_bins = max(4 * int(ncpu), 16) if drill_partitions == "auto" else int(drill_partitions)
@@ -1324,7 +1362,7 @@ def build_pyramid_fast(
             )
         return out
 
-    unified = UnifiedDrillOrMerge(z_handoff, options, chunk_threshold)
+    unified = UnifiedDrillOrMerge(z_handoff, options, chunk_threshold, mvt_cfg)
 
     def run_group(group: pa.Table, _u=unified) -> pa.Table:
         t = _u(group)
@@ -1347,11 +1385,16 @@ def build_pyramid_fast(
         .groupby("skey")
         .map_groups(run_group, batch_format="pyarrow")
     )
+    mvt_cols = ["mvt"] if emit_mvt else []
     if chunk_threshold is None:
         # fully streaming: drill output flows straight to the consumer
         out = level_out.select_columns(
-            TILE_COLUMNS + (["skey"] if keep_skey else [])
+            TILE_COLUMNS + mvt_cols + (["skey"] if keep_skey else [])
         )
+        if emit_mvt:
+            from .mvt_sink import fill_mvt
+
+            out = fill_mvt(out, extent=options.extent, layer_name=mvt_layer)
         out._graft_plan = plan
         return out
 
@@ -1364,13 +1407,13 @@ def build_pyramid_fast(
     level_out = level_out.materialize()
     tiles = level_out.map_batches(
         _kind_filter((KIND_TILE,)), batch_format="pyarrow"
-    ).select_columns(TILE_COLUMNS)
+    ).select_columns(TILE_COLUMNS + mvt_cols)
     chunks = level_out.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
     while chunks.count() > 0:
         nxt = (
             chunks.repartition(n_bins)
             .map_batches(
-                ChunkDrill(options, chunk_threshold),
+                ChunkDrill(options, chunk_threshold, mvt_cfg),
                 batch_format="pyarrow",
                 batch_size=1,
             )
@@ -1378,9 +1421,13 @@ def build_pyramid_fast(
         )
         tiles = tiles.union(
             nxt.map_batches(_kind_filter((KIND_TILE,)), batch_format="pyarrow")
-            .select_columns(TILE_COLUMNS)
+            .select_columns(TILE_COLUMNS + mvt_cols)
         )
         chunks = nxt.map_batches(_kind_filter((KIND_CHUNK,)), batch_format="pyarrow")
+    if emit_mvt:
+        from .mvt_sink import fill_mvt
+
+        tiles = fill_mvt(tiles, extent=options.extent, layer_name=mvt_layer)
     tiles._graft_plan = plan
     return tiles
 

@@ -23,6 +23,52 @@ import pyarrow as pa
 from ..kernels.mvt import encode_layers
 
 
+def _check_extent(extent: int) -> None:
+    """``extent`` must equal the TilerOptions extent the pyramid was built
+    with — tile coordinates are already integers in that extent, and the
+    value is only written into each layer header, so a mismatch silently
+    makes renderers scale geometry wrong. The pyramid schema doesn't carry
+    it, so callers must pass the build-time value (bench/serving callers
+    read it off their TilerOptions); at least reject impossible values."""
+    if not (isinstance(extent, int) and extent > 0):
+        raise ValueError(f"extent must be a positive int, got {extent!r}")
+
+
+def fill_mvt(
+    pyramid: "ray.data.Dataset",
+    extent: int = 4096,
+    layer_name: str = "geojsonvt",
+) -> "ray.data.Dataset":
+    """Complete a pyramid's ``mvt`` column: rows whose blob is empty
+    (produced by non-drill paths — shallow partial merges, scalar heavy
+    tiles, chunk-fragment merges) are encoded from ``features_json`` with
+    the scalar codec, byte-identical to the drill's in-array emission.
+    Streaming map, no shuffle; rows already carrying a blob pass through
+    zero-copy. (A valid encoded empty tile is ~20 bytes, so b"" is
+    unambiguous as "not yet encoded".)"""
+    _check_extent(extent)
+
+    def fix(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lens = pa.compute.binary_length(batch.column("mvt")).to_numpy()
+        if (lens > 0).all():
+            return batch
+        idx = np.nonzero(lens == 0)[0]
+        mvt = batch.column("mvt").to_pylist()
+        fjs = batch.column("features_json").take(pa.array(idx)).to_pylist()
+        for i, fj in zip(idx, fjs):
+            feats = json.loads(fj) if fj else []
+            mvt[i] = encode_layers(
+                {layer_name: {"features": feats, "extent": extent}}
+            )
+        return batch.set_column(
+            batch.schema.get_field_index("mvt"), "mvt", pa.array(mvt, pa.binary())
+        )
+
+    return pyramid.map_batches(fix, batch_format="pyarrow")
+
+
 def mvt_tiles(
     pyramid: "ray.data.Dataset",
     extent: int = 4096,
@@ -37,6 +83,7 @@ def mvt_tiles(
     (z, x, y, num_features, mvt binary). Empty tiles encode as a valid
     empty layer, matching the empty-tile-is-not-None serving contract.
     """
+    _check_extent(extent)
 
     def encode_batch(batch: pa.Table) -> pa.Table:
         zs = batch.column("z").to_pylist()
@@ -87,6 +134,7 @@ def mvt_join_layers(
     (`lexsort_segments`); the per-tile encode loop runs inside the task,
     never as a Python dispatch per distinct tile.
     """
+    _check_extent(extent)
     import numpy as np
 
     from .blocking import lexsort_segments, mix_to_partitions

@@ -1,0 +1,171 @@
+"""In-drill MVT emission (`build_pyramid_fast(emit_mvt=True)`) and the
+vectorized encoder (`kernels/mvt_fast.py`): both must be BYTE-identical to
+the scalar features_json → `mvt.encode_layers` path — the golden contract
+VERDICT r4 task 2 pins (same blobs, no JSON round trip)."""
+
+import json
+import os
+
+import pytest
+
+from geojson_vt_ray.kernels.mvt import encode_layers
+from geojson_vt_ray.kernels.mvt_fast import encode_layers_fast
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+def _scalar_blob(features_json: str, extent: int = 4096) -> bytes:
+    feats = json.loads(features_json) if features_json else []
+    return encode_layers({"geojsonvt": {"features": feats, "extent": extent}})
+
+
+@pytest.mark.parametrize(
+    "fixture,max_zoom",
+    [("us-states.json", 7), ("dateline.json", 6), ("single-geom.json", 4)],
+)
+def test_emit_mvt_byte_identical_to_json_path(ray_session, fixture, max_zoom):
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, fixture)) as f:
+        gj = json.load(f)
+    opts = TilerOptions(max_zoom=max_zoom, index_max_zoom=max_zoom)
+    rows = (
+        build_pyramid_fast(dataset_from_geojson(gj), opts, emit_mvt=True)
+        .materialize()
+        .take_all()
+    )
+    assert rows
+    for r in rows:
+        assert len(r["mvt"]) > 0  # even empty tiles carry a valid layer
+        assert r["mvt"] == _scalar_blob(r["features_json"]), (r["z"], r["x"], r["y"])
+
+
+def test_emit_mvt_with_ids_and_generate_id(ray_session):
+    # feature ids flow through meta suffix parsing: int ids land in the MVT
+    # id field, string ids are dropped (MVT ids are uint64) — exactly as
+    # the features_json path does
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    gj = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "id": 7,
+                "properties": {"kind": "a", "rank": 1.5},
+                "geometry": {"type": "Point", "coordinates": [10.0, 20.0]},
+            },
+            {
+                "type": "Feature",
+                "id": "str-id",
+                "properties": {"arr": [1, 2], "obj": {"k": "v"}},
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[0.0, 0.0], [30.0, 10.0], [40.0, 15.0]],
+                },
+            },
+        ],
+    }
+    opts = TilerOptions(max_zoom=3, index_max_zoom=3)
+    rows = (
+        build_pyramid_fast(dataset_from_geojson(gj), opts, emit_mvt=True)
+        .materialize()
+        .take_all()
+    )
+    assert rows
+    for r in rows:
+        assert r["mvt"] == _scalar_blob(r["features_json"]), (r["z"], r["x"], r["y"])
+
+
+def test_encode_layers_fast_fuzz_byte_identical():
+    """Property fuzz: the vectorized standalone encoder reproduces the
+    scalar encoder byte-for-byte on arbitrary transformed features."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    coord = st.integers(min_value=-100_000, max_value=100_000)
+    point = st.tuples(coord, coord).map(list)
+    tag_val = st.one_of(
+        st.booleans(),
+        st.integers(min_value=-(2**53), max_value=2**53),
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.text(max_size=12),
+    )
+    tags = st.dictionaries(st.text(min_size=1, max_size=8), tag_val, max_size=5)
+
+    def close(ring):
+        return ring + [list(ring[0])]
+
+    feature = st.one_of(
+        st.builds(
+            lambda pts, t: {"type": 1, "geometry": pts, "tags": t},
+            st.lists(point, min_size=1, max_size=6),
+            tags,
+        ),
+        st.builds(
+            lambda parts, t: {"type": 2, "geometry": parts, "tags": t},
+            st.lists(st.lists(point, min_size=2, max_size=6), min_size=1, max_size=3),
+            tags,
+        ),
+        st.builds(
+            lambda rings, t: {"type": 3, "geometry": [close(r) for r in rings], "tags": t},
+            st.lists(st.lists(point, min_size=3, max_size=6), min_size=1, max_size=3),
+            tags,
+        ),
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(feature, max_size=8))
+    def check(feats):
+        layers = {"L": {"features": feats, "extent": 4096}}
+        assert encode_layers_fast(layers) == encode_layers(layers)
+
+    check()
+
+
+def test_encode_layers_fast_falls_back_on_degenerate_parts():
+    # empty line part: the array builder rejects it; public entry point
+    # must fall back to the scalar encoder, not crash or diverge
+    feats = [{"type": 2, "geometry": [[]], "tags": {}}]
+    layers = {"L": {"features": feats, "extent": 4096}}
+    assert encode_layers_fast(layers) == encode_layers(layers)
+
+
+def test_fill_mvt_completes_non_drill_rows(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.mvt_sink import fill_mvt
+
+    fj = json.dumps(
+        [{"type": 1, "tags": {"a": 1}, "geometry": [[100, 200]]}]
+    )
+    t = pa.table(
+        {
+            "z": pa.array([1, 1], pa.int16()),
+            "x": pa.array([0, 1], pa.int32()),
+            "y": pa.array([0, 1], pa.int32()),
+            "features_json": pa.array([fj, "[]"], pa.string()),
+            "mvt": pa.array([b"", b""], pa.binary()),
+        }
+    )
+    out = fill_mvt(ray.data.from_arrow(t)).take_all()
+    for r in out:
+        assert r["mvt"] == _scalar_blob(r["features_json"])
+
+
+def test_mvt_extent_validated():
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.mvt_sink import mvt_join_layers, mvt_tiles
+
+    with pytest.raises(ValueError):
+        mvt_tiles(None, extent=0)
+    with pytest.raises(ValueError):
+        mvt_tiles(None, extent=4096.0)
+    with pytest.raises(ValueError):
+        mvt_join_layers({}, extent=-1)
