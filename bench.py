@@ -311,6 +311,42 @@ def run_benchmarks() -> dict:
     )
     shutil.rmtree(upd_dir, ignore_errors=True)
 
+    # A/B for the no-JSON-round-trip path (round-5 task 2/8): the same
+    # pyramid built + written WITH in-drill MVT emission (blobs encoded
+    # straight from the drill's integer arrays and stored next to the tile
+    # rows). Compare us_states_build_mvt_z13 - us_states_build_z13 (the
+    # in-drill encode+write increment) against us_states_mvt_z13 (the
+    # storage re-encode pass it replaces); then serve a sampled tile set
+    # straight from the stored blobs — the storage -> HTTP-bytes path.
+    from geojson_vt_ray.ray_pipeline.cascade import TileServer
+
+    mvt_dir = "/tmp/graft_bench_pyr_mvt_z13"
+    shutil.rmtree(mvt_dir, ignore_errors=True)
+    timed(
+        "us_states_build_mvt_z13",
+        lambda: write_pyramid_fast(
+            upd_src, opts13, mvt_dir, z_handoff=6, drill_partitions=128,
+            batch_size=32, emit_mvt=True,
+        ),
+    )
+
+    def serve_sample():
+        # warm-server shape: cache sized to the partition count (random
+        # tile traffic over all 128 bins; each file's blob column hydrates
+        # exactly once)
+        server = TileServer(mvt_dir, cache_files=256)
+        all_keys = server.tile_keys()
+        keys = all_keys[:: max(1, len(all_keys) // 2000)]
+        n = 0
+        for (z, x, y) in keys:
+            blob = server.get_tile_mvt(z, x, y)
+            assert blob
+            n += 1
+        return n
+
+    extra["mvt_serve_sample_tiles"] = timed("us_states_mvt_serve_z13", serve_sample)
+    shutil.rmtree(mvt_dir, ignore_errors=True)
+
     # ---- sf-table pipelines -------------------------------------------------
     import ray.data
 

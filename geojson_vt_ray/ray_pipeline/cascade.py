@@ -445,8 +445,12 @@ class TileServer:
     """Read-side getTile over a written pyramid (the batch engine's stand-in
     for the reference's lazy in-memory index, SURVEY.md §3.2).
 
-    Startup reads only the (z, x, y) index columns of every partition file;
-    tile payloads (`features_json`) load lazily per file on first access,
+    Startup reads only the (z, x, y) index columns of every partition file
+    and keeps them as per-file SORTED numpy key arrays (lookups are a
+    reverse-overlay-order binary search per file — startup is vectorized,
+    never a Python insert per tile, so serving a multi-million-tile
+    pyramid starts in O(tiles) numpy time, not O(tiles) interpreter time).
+    Tile payloads (`features_json`) load lazily per file on first access,
     with a small LRU of hydrated files. ``_updates/upd_*`` directories
     written by `incremental_update_pyramid` overlay the base pyramid in
     directory order (newest wins), completing the reference's
@@ -454,15 +458,25 @@ class TileServer:
 
     _CACHE_FILES = 16
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, cache_files: Optional[int] = None):
         import glob
         import os
 
         import pyarrow.parquet as pq
 
+        # hydrated-file LRU size: random-access serving over P partition
+        # files wants cache_files >= P (each file's payload column loads
+        # once, ~file-size bytes of heap); the default 16 suits localized
+        # tile traffic / bounded memory. At 10^12-row scale you shard
+        # servers by key range instead of raising this.
+        self._cache_files = int(cache_files) if cache_files else self._CACHE_FILES
         self._pq = pq
-        self._index: dict[tuple[int, int, int], tuple[str, int, Optional[int]]] = {}
+        # per file, in overlay order: (path, sorted packed keys, row index
+        # per sorted key, tombstone mask per sorted key or None)
+        self._files: list[tuple[str, np.ndarray, np.ndarray, Optional[np.ndarray]]] = []
         self._cache: dict[str, list] = {}
+        self._mvt_cache: dict[str, list] = {}
+        self._no_mvt: set[str] = set()
 
         files: list[tuple[str, Optional[int]]] = []
         for zdir in sorted(glob.glob(os.path.join(out_dir, "z=*"))):
@@ -482,17 +496,67 @@ class TileServer:
             if is_update:
                 cols = cols + ["num_features"]
             t = pq.read_table(path, columns=cols)
-            xs = t.column("x").to_pylist()
-            ys = t.column("y").to_pylist()
-            zs = t.column("z").to_pylist() if fixed_z is None else [fixed_z] * len(xs)
-            # tombstone rows (num_features < 0) mean the tile ceased to exist
-            # in this update: drop the key instead of pointing at the row
-            nf = t.column("num_features").to_pylist() if is_update else None
-            for i in range(len(xs)):
-                if nf is not None and nf[i] < 0:
-                    self._index.pop((zs[i], xs[i], ys[i]), None)
-                else:
-                    self._index[(zs[i], xs[i], ys[i])] = (path, i, fixed_z)
+            xs = t.column("x").to_numpy().astype(np.int64)
+            ys = t.column("y").to_numpy().astype(np.int64)
+            zs = (
+                t.column("z").to_numpy().astype(np.int64)
+                if fixed_z is None
+                else np.full(len(xs), fixed_z, dtype=np.int64)
+            )
+            keys = self._pack(zs, xs, ys)
+            order = np.argsort(keys, kind="stable")
+            # tombstone rows (num_features < 0): the tile ceased to exist in
+            # this update — the reverse-order lookup stops on them with None
+            tomb = None
+            if is_update:
+                tomb = (t.column("num_features").to_numpy() < 0)[order]
+            self._files.append((path, keys[order], order, tomb))
+
+    @staticmethod
+    def _pack(z, x, y):
+        return (
+            (np.asarray(z, dtype=np.int64) << 58)
+            | (np.asarray(x, dtype=np.int64) << 29)
+            | np.asarray(y, dtype=np.int64)
+        )
+
+    def _lookup(self, z: int, x: int, y: int) -> Optional[tuple[str, int]]:
+        """(path, row-in-file) of the newest overlay holding this tile, or
+        None (missing or tombstoned)."""
+        key = (z << 58) | (x << 29) | y
+        for path, keys, rows, tomb in reversed(self._files):
+            i = int(np.searchsorted(keys, key))
+            if i < len(keys) and keys[i] == key:
+                if tomb is not None and tomb[i]:
+                    return None
+                return path, int(rows[i])
+        return None
+
+    def tile_keys(self) -> list[tuple[int, int, int]]:
+        """Sorted (z, x, y) of every live tile (overlay- and tombstone-
+        aware) — vectorized: last-overlay-wins via one lexsort over the
+        concatenated per-file key arrays."""
+        if not self._files:
+            return []
+        all_keys = np.concatenate([f[1] for f in self._files])
+        file_ord = np.concatenate(
+            [np.full(len(f[1]), i, dtype=np.int64) for i, f in enumerate(self._files)]
+        )
+        tombs = np.concatenate(
+            [
+                f[3] if f[3] is not None else np.zeros(len(f[1]), dtype=bool)
+                for f in self._files
+            ]
+        )
+        order = np.lexsort((file_ord, all_keys))
+        k = all_keys[order]
+        last = np.concatenate((k[1:] != k[:-1], [True]))  # newest overlay per key
+        live = last & ~tombs[order]
+        k = k[live]
+        zs = k >> 58
+        xs = (k >> 29) & ((1 << 29) - 1)
+        ys = k & ((1 << 29) - 1)
+        return list(zip(zs.tolist(), xs.tolist(), ys.tolist()))
 
     def _rows(self, path: str) -> list:
         rows = self._cache.get(path)
@@ -505,7 +569,7 @@ class TileServer:
                 t.column(c).to_pylist()
                 for c in ("features_json", "num_points", "num_simplified", "num_features")
             ]
-            if len(self._cache) >= self._CACHE_FILES:
+            if len(self._cache) >= self._cache_files:
                 self._cache.pop(next(iter(self._cache)))
             self._cache[path] = rows
         return rows
@@ -513,10 +577,10 @@ class TileServer:
     def get_tile(self, z: int, x: int, y: int):
         z2 = 1 << z
         x = (x + z2) & (z2 - 1)  # wrap x like the reference
-        hit = self._index.get((z, x, y))
+        hit = self._lookup(z, x, y)
         if hit is None:
             return None
-        path, i, _ = hit
+        path, i = hit
         fj, npn, nsi, nfe = self._rows(path)
         return {
             "z": z,
@@ -533,9 +597,35 @@ class TileServer:
     ) -> Optional[bytes]:
         """The tile as Mapbox Vector Tile bytes (the vt-pbf serving path,
         `kernels/mvt.py`) — what an HTTP tile endpoint returns directly.
-        ``extent`` must match the pyramid's TilerOptions extent. None for
-        a tile outside the pyramid, a valid empty-layer blob for an
-        in-pyramid tile with no features (the empty ≠ missing contract)."""
+        None for a tile outside the pyramid, a valid empty-layer blob for
+        an in-pyramid tile with no features (the empty ≠ missing contract).
+
+        Pyramids written with ``emit_mvt=True`` store the blob per tile;
+        serving then returns it without touching features_json (extent and
+        layer name are baked into the stored blob at build time — the
+        arguments apply only to the re-encode fallback, where ``extent``
+        must match the pyramid's TilerOptions extent)."""
+        z2 = 1 << z
+        xw = (x + z2) & (z2 - 1)
+        hit = self._lookup(z, xw, y)
+        if hit is None:
+            return None
+        path, i = hit
+        if path not in self._no_mvt:
+            blobs = self._mvt_cache.get(path)
+            if blobs is None:
+                pf = self._pq.ParquetFile(path)
+                if "mvt" in pf.schema_arrow.names:
+                    blobs = self._pq.read_table(path, columns=["mvt"]).column(
+                        "mvt"
+                    ).to_pylist()
+                    if len(self._mvt_cache) >= self._cache_files:
+                        self._mvt_cache.pop(next(iter(self._mvt_cache)))
+                    self._mvt_cache[path] = blobs
+                else:
+                    self._no_mvt.add(path)
+            if blobs is not None and blobs[i]:
+                return blobs[i]
         tile = self.get_tile(z, x, y)
         if tile is None:
             return None

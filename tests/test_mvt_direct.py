@@ -169,3 +169,56 @@ def test_mvt_extent_validated():
         mvt_tiles(None, extent=4096.0)
     with pytest.raises(ValueError):
         mvt_join_layers({}, extent=-1)
+
+
+def test_write_emit_mvt_serve_and_resume(ray_session, tmp_path):
+    """emit_mvt pyramids: the stored blob is what TileServer serves (no
+    re-encode), survives the per-bin kill/resume protocol, and equals the
+    scalar encode of the served features — the task-8 storage→serving
+    round trip."""
+    import glob
+    import os
+    import shutil
+
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import TileServer, write_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        data = json.load(f)
+    opts = TilerOptions(max_zoom=5)
+    out = str(tmp_path / "pyr_mvt")
+
+    stats = write_pyramid_fast(
+        dataset_from_geojson(data), opts, out, z_handoff=2, emit_mvt=True
+    )
+    assert stats["resumed"] is False
+
+    # kill/resume over the same manifests the plain pyramid uses
+    os.remove(os.path.join(out, "_pyramid.done"))
+    bins = sorted(glob.glob(os.path.join(out, "bins", "skey=*")))
+    k0 = int(os.path.basename(bins[0]).split("=")[1])
+    os.remove(os.path.join(out, "_done", f"{k0}.done"))
+    shutil.rmtree(bins[0])
+    stats2 = write_pyramid_fast(
+        dataset_from_geojson(data), opts, out, z_handoff=2, emit_mvt=True
+    )
+    assert stats2["resumed"] is True and stats2["tiles"] == stats["tiles"]
+
+    server = TileServer(out)
+    checked = 0
+    for (z, x, y) in ((0, 0, 0), (2, 0, 1), (3, 2, 3), (5, 8, 11)):
+        blob = server.get_tile_mvt(z, x, y)
+        tile = server.get_tile(z, x, y)
+        if tile is None:
+            assert blob is None
+            continue
+        want = encode_layers(
+            {"geojsonvt": {"features": tile["features"], "extent": 4096}}
+        )
+        assert blob == want
+        # stored-blob path, not the re-encode fallback
+        path = server._lookup(z, x, y)[0]
+        assert path in server._mvt_cache and path not in server._no_mvt
+        checked += 1
+    assert checked >= 3
