@@ -69,6 +69,53 @@ def fill_mvt(
     return pyramid.map_batches(fix, batch_format="pyarrow")
 
 
+_EMPTY_JOINED = pa.table(
+    {
+        "z": pa.array([], pa.int32()),
+        "x": pa.array([], pa.int32()),
+        "y": pa.array([], pa.int32()),
+        "num_layers": pa.array([], pa.int64()),
+        "mvt": pa.array([], pa.binary()),
+    }
+)
+
+
+def _encode_tile_groups(tkey, names, fjs, order, extent) -> pa.Table:
+    """Encode one partition's (tkey, layer, features_json) rows as
+    multi-layer MVT tiles — vectorized tkey segmentation, layers in the
+    caller's dict order. Shared by the shuffle join and the
+    co-partitioned stored join (identical blobs by construction)."""
+    from .blocking import lexsort_segments
+
+    sort, starts, ends = lexsort_segments([tkey])
+    zs, xs, ys, nl, blobs = [], [], [], [], []
+    for s, e in zip(starts, ends):
+        idxs = sort[s:e]
+        k = int(tkey[idxs[0]])
+        present = {
+            names[i]: {
+                "features": json.loads(fjs[i]) if fjs[i] else [],
+                "extent": extent,
+            }
+            for i in idxs
+        }
+        layers = {n: present[n] for n in order if n in present}
+        zs.append(k >> 58)
+        xs.append((k >> 29) & ((1 << 29) - 1))
+        ys.append(k & ((1 << 29) - 1))
+        nl.append(len(layers))
+        blobs.append(encode_layers(layers))
+    return pa.table(
+        {
+            "z": pa.array(zs, pa.int32()),
+            "x": pa.array(xs, pa.int32()),
+            "y": pa.array(ys, pa.int32()),
+            "num_layers": pa.array(nl, pa.int64()),
+            "mvt": pa.array(blobs, pa.binary()),
+        }
+    )
+
+
 def mvt_tiles(
     pyramid: "ray.data.Dataset",
     extent: int = 4096,
@@ -164,47 +211,14 @@ def mvt_join_layers(
     order = list(pyramids)
 
     def encode_partition(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "z": pa.array([], pa.int32()),
-                "x": pa.array([], pa.int32()),
-                "y": pa.array([], pa.int32()),
-                "num_layers": pa.array([], pa.int64()),
-                "mvt": pa.array([], pa.binary()),
-            }
-        )
         if group.num_rows == 0:
-            return empty
-        tkey = group.column("tkey").to_numpy()
-        names = group.column("layer").to_pylist()
-        fjs = group.column("features_json").to_pylist()
-        sort, starts, ends = lexsort_segments([tkey])
-        zs, xs, ys, nl, blobs = [], [], [], [], []
-        for s, e in zip(starts, ends):
-            idxs = sort[s:e]
-            k = int(tkey[idxs[0]])
-            present = {
-                names[i]: {
-                    "features": json.loads(fjs[i]) if fjs[i] else [],
-                    "extent": extent,
-                }
-                for i in idxs
-            }
-            # deterministic layer order: the caller's dict order
-            layers = {n: present[n] for n in order if n in present}
-            zs.append(k >> 58)
-            xs.append((k >> 29) & ((1 << 29) - 1))
-            ys.append(k & ((1 << 29) - 1))
-            nl.append(len(layers))
-            blobs.append(encode_layers(layers))
-        return pa.table(
-            {
-                "z": pa.array(zs, pa.int32()),
-                "x": pa.array(xs, pa.int32()),
-                "y": pa.array(ys, pa.int32()),
-                "num_layers": pa.array(nl, pa.int64()),
-                "mvt": pa.array(blobs, pa.binary()),
-            }
+            return _EMPTY_JOINED
+        return _encode_tile_groups(
+            group.column("tkey").to_numpy(),
+            group.column("layer").to_pylist(),
+            group.column("features_json").to_pylist(),
+            order,
+            extent,
         )
 
     return tagged.groupby("pk").map_groups(encode_partition, batch_format="pyarrow")
@@ -297,3 +311,115 @@ def tilejson_for_pyramid(
             {"id": name, "minzoom": zmin, "maxzoom": zmax, "fields": fields}
         ],
     }
+
+
+def write_pyramid_pkey(
+    pyramid: "ray.data.Dataset",
+    out_dir: str,
+    n_partitions: int = 256,
+) -> dict:
+    """Write a pyramid partitioned by hashed tile key — the layout that
+    makes multi-layer joins shuffle-free.
+
+    Every layer written with the SAME ``n_partitions`` puts any given
+    (z, x, y) in the same ``pkey=<p>`` directory across layers (pkey =
+    `blocking.mix_to_partitions` of the packed tkey), so a downstream
+    join is a partition-aligned read: task p reads each layer's pkey=p
+    files and merges locally — no AllToAll. A ``_pkey.json`` manifest
+    records ``n_partitions`` so the joiner can verify alignment.
+    """
+    import os
+
+    import numpy as np
+
+    from .blocking import mix_to_partitions
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        z = np.asarray(batch.column("z").to_numpy(), dtype=np.int64)
+        x = np.asarray(batch.column("x").to_numpy(), dtype=np.int64)
+        y = np.asarray(batch.column("y").to_numpy(), dtype=np.int64)
+        tkey = (z << 58) | (x << 29) | y
+        return pa.table(
+            {
+                "tkey": pa.array(tkey),
+                "pkey": pa.array(mix_to_partitions(tkey, n_partitions)),
+                "features_json": batch.column("features_json").cast(pa.string()),
+            }
+        )
+
+    pyramid.map_batches(add_pkey, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["pkey"]
+    )
+    manifest = {"n_partitions": n_partitions}
+    with open(os.path.join(out_dir, "_pkey.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def mvt_join_layers_copartitioned(
+    layer_dirs: dict[str, str],
+    extent: int = 4096,
+) -> "ray.data.Dataset":
+    """Multi-layer MVT join over `write_pyramid_pkey` layouts — ZERO
+    shuffle (round-5 task 4).
+
+    Where `mvt_join_layers` pays one tkey sort-shuffle over every tile
+    row of every layer, this variant exploits the shared hash
+    partitioning: one task per partition id reads each layer's aligned
+    ``pkey=<p>`` directory straight off storage and merges/encodes
+    locally (`_encode_tile_groups`, the exact code the shuffle join
+    runs — identical blobs). The only cross-node movement is the
+    partition-id fan-out itself: O(n_partitions) int rows.
+
+    Layer order in the output tiles follows ``layer_dirs`` dict order,
+    matching `mvt_join_layers`'s caller-dict-order contract.
+    """
+    _check_extent(extent)
+    import glob
+    import os
+
+    import numpy as np
+    import ray.data
+
+    n_parts: "Optional[int]" = None
+    for name, d in layer_dirs.items():
+        with open(os.path.join(d, "_pkey.json")) as f:
+            m = json.load(f)
+        if n_parts is None:
+            n_parts = int(m["n_partitions"])
+        elif int(m["n_partitions"]) != n_parts:
+            raise ValueError(
+                "layers are not co-partitioned: "
+                f"{name} has n_partitions={m['n_partitions']}, expected {n_parts}"
+            )
+    order = list(layer_dirs)
+    dirs = dict(layer_dirs)
+
+    def join_partition(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out: list[pa.Table] = []
+        for pid in batch.column("id").to_pylist():
+            tkeys: list[np.ndarray] = []
+            names: list[str] = []
+            fjs: list[str] = []
+            for name in order:
+                pdir = os.path.join(dirs[name], f"pkey={pid}")
+                for part in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+                    t = pq.read_table(part, columns=["tkey", "features_json"])
+                    tkeys.append(t.column("tkey").to_numpy())
+                    names.extend([name] * t.num_rows)
+                    fjs.extend(t.column("features_json").to_pylist())
+            if not names:
+                continue
+            out.append(
+                _encode_tile_groups(
+                    np.concatenate(tkeys), names, fjs, order, extent
+                )
+            )
+        return pa.concat_tables(out) if out else _EMPTY_JOINED
+
+    # one row per partition id; batch_size=1 => one aligned read per task
+    return ray.data.range(n_parts).map_batches(
+        join_partition, batch_format="pyarrow", batch_size=1
+    )

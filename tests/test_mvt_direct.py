@@ -222,3 +222,54 @@ def test_write_emit_mvt_serve_and_resume(ray_session, tmp_path):
         assert path in server._mvt_cache and path not in server._no_mvt
         checked += 1
     assert checked >= 3
+
+
+def test_copartitioned_join_matches_shuffle_join(ray_session, tmp_path):
+    """`write_pyramid_pkey` + `mvt_join_layers_copartitioned` (zero
+    shuffle) produce the SAME joined tiles, blob-for-blob, as the
+    shuffle-based `mvt_join_layers` over the same two pyramids (round-5
+    task 4)."""
+    from geojson_vt_ray.datagen.rects import rect_geojson
+    from geojson_vt_ray.options import TilerOptions
+    from geojson_vt_ray.ray_pipeline.cascade import build_pyramid_fast
+    from geojson_vt_ray.ray_pipeline.mvt_sink import (
+        mvt_join_layers,
+        mvt_join_layers_copartitioned,
+        write_pyramid_pkey,
+    )
+    from geojson_vt_ray.ray_pipeline.tiler import dataset_from_geojson
+
+    with open(os.path.join(FIXTURES, "us-states.json")) as f:
+        states_gj = json.load(f)
+    opts = TilerOptions(max_zoom=3)
+    states = build_pyramid_fast(
+        dataset_from_geojson(states_gj), opts, z_handoff=1
+    ).materialize()
+    rects = build_pyramid_fast(
+        dataset_from_geojson(rect_geojson(list(range(1, 40)))), opts, z_handoff=1
+    ).materialize()
+
+    sdir = str(tmp_path / "layer_states")
+    rdir = str(tmp_path / "layer_rects")
+    assert write_pyramid_pkey(states, sdir, n_partitions=16) == {"n_partitions": 16}
+    write_pyramid_pkey(rects, rdir, n_partitions=16)
+
+    want = {
+        (int(r.z), int(r.x), int(r.y)): (int(r.num_layers), r.mvt)
+        for r in mvt_join_layers({"states": states, "rects": rects})
+        .to_pandas()
+        .itertuples(index=False)
+    }
+    got = {
+        (int(r.z), int(r.x), int(r.y)): (int(r.num_layers), r.mvt)
+        for r in mvt_join_layers_copartitioned({"states": sdir, "rects": rdir})
+        .to_pandas()
+        .itertuples(index=False)
+    }
+    assert got == want and len(got) > 20
+
+    # misaligned partitioning must be rejected, not silently mis-joined
+    bad = str(tmp_path / "layer_bad")
+    write_pyramid_pkey(rects, bad, n_partitions=8)
+    with pytest.raises(ValueError):
+        mvt_join_layers_copartitioned({"states": sdir, "rects": bad}).count()
