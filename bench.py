@@ -262,8 +262,12 @@ def run_benchmarks() -> dict:
     upd_src = dataset_from_geojson(replicated, options=opts13)
     timed(
         "us_states_build_z13",
+        # updateable=True persists the per-feature cascade state (the
+        # incremental update below patches it instead of re-cascading the
+        # source — round-5 task 3); costs ~5-10% over the plain build
         lambda: write_pyramid_fast(
-            upd_src, opts13, upd_dir, z_handoff=6, drill_partitions=128, batch_size=32
+            upd_src, opts13, upd_dir, z_handoff=6, drill_partitions=128,
+            batch_size=32, updateable=True,
         ),
     )
     one_rect = {

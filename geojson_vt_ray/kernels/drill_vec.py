@@ -694,17 +694,23 @@ def _clip_pass(
 def drill_subtree_vec(
     out, features: list, z: int, x: int, y: int, options: TilerOptions,
     emit_root: bool = False,
+    allowed: "set | None" = None,
 ) -> None:
     """Whole-subtree drill of (z, x, y): batched equivalent of
     `cascade._drill_subtree` (+ the root tile when ``emit_root``).
 
     ``features`` are decoded (seq, feature) pairs in reference order.
+    ``allowed``: optional ancestry-closed (z, x, y) cone; descendants
+    outside it are pruned (incremental-update drills).
     """
-    drill_forest_vec(out, [(features, z, x, y)], options, emit_roots=emit_root)
+    drill_forest_vec(
+        out, [(features, z, x, y)], options, emit_roots=emit_root, allowed=allowed
+    )
 
 
 def drill_forest_vec(
-    out, roots: list, options: TilerOptions, emit_roots: bool = True
+    out, roots: list, options: TilerOptions, emit_roots: bool = True,
+    allowed: "set | None" = None,
 ) -> None:
     """Level-synchronous drill of a FOREST of subtrees (one drill bin).
 
@@ -772,7 +778,9 @@ def drill_forest_vec(
         if ws.num_features == 0:
             cz += 1
             continue
-        _step = _forest_level_step(out, ws, meta, tiles, cz, options, k1, k2, k3, k4)
+        _step = _forest_level_step(
+            out, ws, meta, tiles, cz, options, k1, k2, k3, k4, allowed
+        )
         ws, meta, tiles = _step
         cz += 1
 
@@ -797,9 +805,43 @@ def _tile_slice_view(ws: WorkingSet, first_tile: int) -> WorkingSet:
     )
 
 
-def _forest_level_step(out, ws, meta, tiles, cz, options, k1, k2, k3, k4):
+def _ws_take_features(ws: WorkingSet, keep, new_tile) -> WorkingSet:
+    """WorkingSet restricted to the features where ``keep`` is True, with
+    feat_tile replaced by ``new_tile`` (already remapped indices). Pure
+    gather - used by the invalidation-cone pruning of update drills."""
+    idx = np.nonzero(keep)[0]
+    part_start = ws.feat_off[idx]
+    part_len = ws.feat_off[idx + 1] - part_start
+    part_gather = _span_gather(part_start, part_len)
+    ring_start = ws.part_off[part_gather]
+    ring_len = ws.part_off[part_gather + 1] - ring_start
+    ring_gather = _span_gather(ring_start, ring_len)
+    pt_start = ws.ring_off[ring_gather]
+    pt_len = ws.ring_off[ring_gather + 1] - pt_start
+    pt_gather = _span_gather(pt_start, pt_len)
+    return WorkingSet(
+        ws.pts[pt_gather],
+        np.concatenate(([0], np.cumsum(pt_len))),
+        ws.ring_size[ring_gather],
+        np.concatenate(([0], np.cumsum(ring_len))),
+        np.concatenate(([0], np.cumsum(part_len))),
+        ws.feat_class[idx],
+        ws.feat_meta[idx],
+        new_tile,
+        ws.fminx[idx], ws.fminy[idx], ws.fmaxx[idx], ws.fmaxy[idx],
+    )
+
+
+def _forest_level_step(out, ws, meta, tiles, cz, options, k1, k2, k3, k4,
+                       allowed=None):
     """One descend step shared by the forest drill (body of the old
-    per-subtree loop)."""
+    per-subtree loop).
+
+    ``allowed``: optional set of (z, x, y) - the invalidation cone of an
+    incremental update (ancestry-closed by the buffered-bounds rule,
+    `incremental.affected_tile_keys`); children outside it are pruned
+    BEFORE clipping descends further, so an update drill costs
+    O(invalidated tiles), not O(subtree)."""
     if True:
         txs = tiles[:, 0].astype(np.float64)
         tys = tiles[:, 1].astype(np.float64)
@@ -847,6 +889,20 @@ def _forest_level_step(out, ws, meta, tiles, cz, options, k1, k2, k3, k4):
             if new_tiles
             else np.empty((0, 2), dtype=np.int64)
         )
+        if allowed is not None:
+            cz1 = cz + 1
+            keep = np.fromiter(
+                ((cz1, int(tx), int(ty)) in allowed for tx, ty in tiles),
+                dtype=bool,
+                count=len(tiles),
+            )
+            if not keep.all():
+                remap = np.cumsum(keep) - 1
+                if len(ws.feat_tile):
+                    fkeep = keep[ws.feat_tile]
+                    ws = _ws_take_features(ws, fkeep, remap[ws.feat_tile[fkeep]])
+                tiles = tiles[keep]
+            empty = [e for e in empty if (cz1, int(e[0]), int(e[1])) in allowed]
         _emit_level(
             out, ws, meta, cz + 1, tiles, options,
             np.asarray(empty, dtype=np.int64).reshape(-1, 2),

@@ -191,6 +191,72 @@ class CascadeToHandoff:
         return out.table()
 
 
+class CascadePerFeature:
+    """`CascadeToHandoff` with per-feature shards and source attribution —
+    the persisted UPDATEABLE cascade state (round-5 task 3).
+
+    Every emitted row (shallow partial, existence partial, hand-off
+    feature, cost marker) descends from exactly ONE input feature and
+    carries its ``src_seq`` (the input_seq packed into the row's order
+    key). An incremental update can therefore patch the state by pure row
+    algebra — drop rows whose src_seq is removed/replaced, union the
+    diff's own per-feature rows — and the downstream merge + drill
+    produce BIT-identical tiles to a full rebuild: partial merging is
+    associative/commutative over shards (sort by seq, sum counters), the
+    hand-off feature rows are the same rows batch mode emits, leaf-cost
+    estimates are per-feature additive, and existence keys are the union
+    of per-feature existence keys. Sharding granularity is the only
+    difference from `CascadeToHandoff`, and the merge erases it.
+    """
+
+    def __init__(self, options: TilerOptions, z_handoff: int):
+        self.options = options
+        self.z_handoff = z_handoff
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = LevelRowBuilder()
+        features = decode_features(batch)
+        xs = batch.column("x").to_pylist()
+        ys = batch.column("y").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        src: list[int] = []
+        fi = 0
+        for i in range(batch.num_rows):
+            if kinds[i] != KIND_FEATURE:
+                continue
+            pair = features[fi]
+            fi += 1
+            n0 = len(out.cols["kind"])
+            self._one(out, xs[i], ys[i], pair)
+            iseq = int.from_bytes(pair[0][1:9], "big")
+            src.extend([iseq] * (len(out.cols["kind"]) - n0))
+        return out.table().append_column("src_seq", pa.array(src, pa.int64()))
+
+    def _one(self, out: LevelRowBuilder, x: int, y: int, pair) -> None:
+        options = self.options
+        zh = self.z_handoff
+        level: dict[tuple[int, int], list] = {(x, y): [pair]}
+        for z in range(zh):
+            nxt: dict[tuple[int, int], list] = {}
+            for (tx, ty), shard in level.items():
+                _emit_partial(out, shard, z, tx, ty, options)
+                if z < options.max_zoom and shard:
+                    bbox = {
+                        "minX": min(f["minX"] for _, f in shard),
+                        "maxX": max(f["maxX"] for _, f in shard),
+                        "minY": min(f["minY"] for _, f in shard),
+                        "maxY": max(f["maxY"] for _, f in shard),
+                    }
+                    for cx, cy, child in _clip_children(shard, z, tx, ty, options, bbox):
+                        nxt.setdefault((cx, cy), []).extend(child)
+            level = nxt
+        for (tx, ty), shard in level.items():
+            est = sum(_est_leaf_tiles(shard, zh, tx, ty, options.max_zoom)) if shard else 0.0
+            out.add_marker(zh, tx, ty, est=est)
+            for seq, f in shard:
+                out.add_feature(zh, tx, ty, seq, f)
+
+
 class DeepenHeavy:
     """Push a heavy hand-off tile's frontier one level deeper.
 
@@ -307,11 +373,41 @@ def build_tiles_cascade(
     return cur.groupby("tkey").map_groups(_merge_partials, batch_format="pyarrow")
 
 
+CASCADE_BUCKETS = 64  # tile-key buckets of the persisted updateable state
+
+
+def write_cascade_state(
+    cas: "ray.data.Dataset", state_dir: str, buckets: int = CASCADE_BUCKETS
+) -> None:
+    """Persist per-feature cascade rows bucketed by tile key (``ck = tkey
+    mod buckets``) so an update reads ONLY the buckets holding its
+    affected tiles/subtrees — O(affected) I/O, never a full state scan."""
+    import os
+    import shutil
+
+    done = state_dir + ".done"
+    if os.path.exists(done):
+        return
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def add_ck(batch: pa.Table) -> pa.Table:
+        tk = batch.column("tkey").to_numpy()
+        ck = (np.abs(tk) % buckets).astype(np.int32)
+        return batch.append_column("ck", pa.array(ck))
+
+    cas.map_batches(add_ck, batch_format="pyarrow").write_parquet(
+        state_dir, partition_cols=["ck"]
+    )
+    with open(done, "w") as f:
+        f.write("1")
+
+
 def write_pyramid_fast(
     ds: "ray.data.Dataset",
     options: TilerOptions,
     out_dir: str,
     resumable: bool = True,
+    updateable: bool = False,
     **kwargs,
 ) -> dict:
     """Production pyramid sink with per-BIN resume.
@@ -345,6 +441,34 @@ def write_pyramid_fast(
         with open(done) as f:
             return {"tiles": int(f.read() or 0), "resumed": True}
     os.makedirs(out_dir, exist_ok=True)
+
+    if updateable:
+        # per-feature cascade state: persisted for O(affected) incremental
+        # updates AND fed to this build (merge-identical to the batch
+        # cascade — per-feature sharding is erased by the partial merge)
+        vopts = options.validate()
+        zh = min(kwargs.get("z_handoff", 7), vopts.max_zoom)
+        kwargs["z_handoff"] = zh
+        cas = (
+            ds.map_batches(ConvertWrap(vopts), batch_format="pyarrow")
+            .map_batches(
+                CascadePerFeature(vopts, zh),
+                batch_format="pyarrow",
+                batch_size=kwargs.get("batch_size", 1024),
+            )
+            .materialize()
+        )
+        write_cascade_state(cas, os.path.join(out_dir, "_cascade", "base"))
+        with open(os.path.join(out_dir, "_cascade", "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "z_handoff": zh,
+                    "buckets": CASCADE_BUCKETS,
+                    "next_seq": 1 << 40,
+                },
+                f,
+            )
+        kwargs["cascade_rows"] = cas
 
     if not resumable:
         tiles = build_pyramid_fast(ds, options, **kwargs)
@@ -1085,11 +1209,17 @@ class UnifiedDrillOrMerge:
         options: TilerOptions,
         chunk_threshold: Optional[float],
         mvt_cfg: "Optional[tuple[str, int]]" = None,
+        tile_filter: "Optional[set]" = None,
     ):
         self.z = z
         self.options = options
         self.chunk_threshold = chunk_threshold
         self.mvt_cfg = mvt_cfg
+        # ancestry-closed invalidation cone of an incremental update:
+        # drills prune descendants outside it (vectorized path only; the
+        # scalar line-metrics/chunked paths drill fully and the caller's
+        # affected-keys output filter keeps correctness either way)
+        self.tile_filter = tile_filter
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1123,7 +1253,10 @@ class UnifiedDrillOrMerge:
         if features and not options.line_metrics and self.chunk_threshold is None:
             from ..kernels.drill_vec import drill_subtree_vec
 
-            drill_subtree_vec(out, features, z, x, y, options, emit_root=True)
+            drill_subtree_vec(
+                out, features, z, x, y, options, emit_root=True,
+                allowed=self.tile_filter,
+            )
             return
 
         tile = create_tile([f for _, f in features], z, x, y, options)
@@ -1314,6 +1447,7 @@ def build_pyramid_fast(
     skip_bins: "Optional[set[int]]" = None,
     emit_mvt: bool = False,
     mvt_layer: str = "geojsonvt",
+    cascade_rows: "Optional[ray.data.Dataset]" = None,
 ) -> "ray.data.Dataset":
     """Production pyramid: ONE cascade map stage to ``z_handoff`` (shallow
     tiles assembled as mergeable partials), ONE cost-balanced groupby that
@@ -1349,15 +1483,23 @@ def build_pyramid_fast(
     ncpu = float(_ray.cluster_resources().get("CPU", 8))
     n_bins = max(4 * int(ncpu), 16) if drill_partitions == "auto" else int(drill_partitions)
 
-    cur = (
-        ds.map_batches(ConvertWrap(options), batch_format="pyarrow")
-        .map_batches(
-            CascadeToHandoff(options, z_handoff),
-            batch_format="pyarrow",
-            batch_size=batch_size,
+    if cascade_rows is not None:
+        if "src_seq" in cascade_rows.schema().names:
+            # attribution column of the persisted updateable state — the
+            # merge/drill doesn't use it, and DeepenHeavy emits plain
+            # LEVEL_SCHEMA rows, so strip it before the pipeline
+            cascade_rows = cascade_rows.drop_columns(["src_seq"])
+        cur = cascade_rows.materialize()
+    else:
+        cur = (
+            ds.map_batches(ConvertWrap(options), batch_format="pyarrow")
+            .map_batches(
+                CascadeToHandoff(options, z_handoff),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+            .materialize()  # cascade output is small (partials + hand-off frontier)
         )
-        .materialize()  # cascade output is small (partials + hand-off frontier)
-    )
 
     if subtree_filter is not None:
         filt_ref = _ray.put(frozenset(subtree_filter))

@@ -208,6 +208,431 @@ def apply_diff_dataset(
     return patched, affected
 
 
+def _write_update_overlay(
+    tiles: "ray.data.Dataset", keys: set, out_dir: str
+) -> tuple[str, int]:
+    """Filter the rebuilt tiles to the invalidated keys, write them as the
+    next ``_updates/upd_<n>`` overlay, and emit tombstones for invalidated
+    keys that produced no tile (the tile ceased to exist)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    keys_ref = ray.put(keys)
+
+    def only_affected(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        mask = [
+            (z, x, y) in ks
+            for z, x, y in zip(
+                batch.column("z").to_pylist(),
+                batch.column("x").to_pylist(),
+                batch.column("y").to_pylist(),
+            )
+        ]
+        return batch.filter(pa.array(mask))
+
+    changed = tiles.map_batches(only_affected, batch_format="pyarrow")
+    seq = len(glob.glob(os.path.join(out_dir, "_updates", "upd_*")))
+    target = os.path.join(out_dir, "_updates", f"upd_{seq:04d}")
+    changed.write_parquet(target)
+
+    written: set[tuple[int, int, int]] = set()
+    for p in glob.glob(os.path.join(target, "*.parquet")):
+        t = _pq.read_table(p, columns=["z", "x", "y"])
+        written.update(
+            zip(*(t.column(c).to_pylist() for c in ("z", "x", "y")))
+        )
+    missing = sorted(keys - written)
+    if missing:
+        t = pa.table(
+            {
+                "z": pa.array([k[0] for k in missing], pa.int16()),
+                "x": pa.array([k[1] for k in missing], pa.int32()),
+                "y": pa.array([k[2] for k in missing], pa.int32()),
+                "features_json": pa.array(["[]"] * len(missing), pa.string()),
+                "num_points": pa.array([0] * len(missing), pa.int64()),
+                "num_simplified": pa.array([0] * len(missing), pa.int64()),
+                "num_features": pa.array([-1] * len(missing), pa.int64()),
+                "min_seq": pa.array([b""] * len(missing), pa.binary()),
+                "max_seq": pa.array([b""] * len(missing), pa.binary()),
+            }
+        )
+        _pq.write_table(t, os.path.join(target, "tombstones.parquet"))
+    return target, len(missing)
+
+
+def _write_overlay_table(
+    tiles_tbl: "Optional[pa.Table]", keys: set, out_dir: str
+) -> tuple[str, int]:
+    """Driver-side twin of `_write_update_overlay` for the small-state
+    lane: same filtering, same tombstone rule, one parquet file."""
+    import glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    seq = len(glob.glob(os.path.join(out_dir, "_updates", "upd_*")))
+    target = os.path.join(out_dir, "_updates", f"upd_{seq:04d}")
+    os.makedirs(target, exist_ok=True)
+
+    written: set[tuple[int, int, int]] = set()
+    if tiles_tbl is not None and tiles_tbl.num_rows:
+        zxy = list(
+            zip(
+                tiles_tbl.column("z").to_pylist(),
+                tiles_tbl.column("x").to_pylist(),
+                tiles_tbl.column("y").to_pylist(),
+            )
+        )
+        mask = pa.array([k in keys for k in zxy])
+        from .cascade import TILE_COLUMNS
+
+        changed = tiles_tbl.filter(mask).select(TILE_COLUMNS)
+        if changed.num_rows:
+            _pq.write_table(changed, os.path.join(target, "update.parquet"))
+            written = {k for k, m in zip(zxy, mask.to_pylist()) if m}
+    missing = sorted(keys - written)
+    if missing:
+        t = pa.table(
+            {
+                "z": pa.array([k[0] for k in missing], pa.int16()),
+                "x": pa.array([k[1] for k in missing], pa.int32()),
+                "y": pa.array([k[2] for k in missing], pa.int32()),
+                "features_json": pa.array(["[]"] * len(missing), pa.string()),
+                "num_points": pa.array([0] * len(missing), pa.int64()),
+                "num_simplified": pa.array([0] * len(missing), pa.int64()),
+                "num_features": pa.array([-1] * len(missing), pa.int64()),
+                "min_seq": pa.array([b""] * len(missing), pa.binary()),
+                "max_seq": pa.array([b""] * len(missing), pa.binary()),
+            }
+        )
+        _pq.write_table(t, os.path.join(target, "tombstones.parquet"))
+    return target, len(missing)
+
+
+def _fast_update(
+    source_rows: "ray.data.Dataset",
+    diff: dict,
+    options: TilerOptions,
+    out_dir: str,
+    pyramid_kwargs: dict,
+) -> Optional[dict]:
+    """O(affected) incremental update over a pyramid written with
+    ``updateable=True`` (round-5 task 3).
+
+    Instead of re-cascading the full patched source, this patches the
+    PERSISTED per-feature cascade state (`cascade.CascadePerFeature`) by
+    row algebra: drop rows whose ``src_seq`` belongs to removed/replaced
+    features, cascade ONLY the diff's own features, union, and feed the
+    result straight into the merge/drill with the invalidated-subtree
+    filter. Reads touch only the tile-key BUCKETS holding invalidated
+    tiles (`cascade.write_cascade_state` layout), so I/O and compute are
+    both O(affected), not O(source). Each update appends its own state
+    patch under ``_cascade/upd_<n>`` (new rows + a removal manifest), so
+    sequential updates compose without rewriting the base state.
+
+    Returns None when the fast path doesn't apply (no persisted state, or
+    a removeAll diff — semantically a rebuild)."""
+    import glob
+    import os
+
+    import pyarrow.compute as pc
+
+    from ..arrowio.codec import KIND_FEATURE, KIND_MARKER, KIND_TILE_PARTIAL, tile_key
+    from .cascade import (
+        CASCADE_BUCKETS,
+        CascadePerFeature,
+        build_pyramid_fast,
+        write_cascade_state,
+    )
+    from .tiler import ConvertWrap
+
+    state_root = os.path.join(out_dir, "_cascade")
+    meta_path = os.path.join(state_root, "meta.json")
+    if not (
+        os.path.exists(meta_path)
+        and os.path.exists(os.path.join(state_root, "base.done"))
+    ):
+        return None
+    hashed = diff_to_hashed(diff, options)
+    if hashed["removeAll"]:
+        return None  # a full rebuild by definition; take the slow path
+
+    with open(meta_path) as f:
+        meta = json.load(f)
+    vopts = options.validate()
+    zh = int(meta["z_handoff"])
+    buckets = int(meta.get("buckets", CASCADE_BUCKETS))
+    pyramid_kwargs = dict(pyramid_kwargs)
+    pyramid_kwargs["z_handoff"] = zh
+
+    chain = []
+    chain_metas = []
+    next_seq = int(meta.get("next_seq", 1 << 40))
+    for d in sorted(glob.glob(os.path.join(state_root, "upd_*"))):
+        mp = os.path.join(d, "meta.json")
+        if not os.path.exists(mp):
+            continue  # uncommitted patch of a killed update — ignored
+        with open(mp) as f:
+            m = json.load(f)
+        chain.append(d)
+        chain_metas.append(m)
+        next_seq = max(next_seq, int(m["next_seq"]))
+    removed_prior: set[int] = set()
+    for m in chain_metas:
+        removed_prior.update(int(s) for s in m["removed"])
+
+    drop_ids = (
+        hashed["remove"] | set(hashed["add"].keys()) | set(hashed["update"].keys())
+    )
+    drop_fid_keys = {fid_key_of(v) for v in drop_ids}
+
+    # resolve removals + collect the OLD affected features (for
+    # invalidation): chain patches first (features added by prior updates),
+    # then one vectorized scan over the base source
+    removed_now: set[int] = set()
+    affected: list[dict] = []
+    for m in chain_metas:
+        for k in drop_fid_keys:
+            s = m["added"].get(k)
+            if s is None:
+                continue
+            s = int(s)
+            removed_now.add(s)
+            if s not in removed_prior:
+                f = json.loads(m["added_json"][k])
+                affected.extend(wrap(convert_to_internal(f, vopts), vopts))
+    if drop_fid_keys:
+        src = with_fid_key(source_rows, vopts)
+        key_col = fid_key_column(vopts)
+        vs = pa.array(sorted(drop_fid_keys), pa.string())
+
+        def scan(batch: pa.Table) -> pa.Table:
+            hit = pc.is_in(batch.column(key_col), value_set=vs)
+            return batch.filter(hit).select(["feature_json", "input_seq"])
+
+        for row in src.map_batches(scan, batch_format="pyarrow").take_all():
+            s = int(row["input_seq"])
+            removed_now.add(s)
+            if s not in removed_prior:
+                f = json.loads(row["feature_json"])
+                affected.extend(wrap(convert_to_internal(f, vopts), vopts))
+
+    # the diff's own rows (adds + geometry updates), appended after
+    # everything with fresh seqs — same ordering rule as the slow path
+    key_col = fid_key_column(vopts)
+    new_rows: list[dict] = []
+    added_map: dict[str, int] = {}
+    added_json: dict[str, str] = {}
+
+    def _append(f: dict) -> None:
+        nonlocal next_seq
+        k = fid_key_of_feature(f, vopts)
+        fj = json.dumps(f)
+        new_rows.append({"feature_json": fj, "input_seq": next_seq, key_col: k})
+        added_map[k] = next_seq
+        added_json[k] = fj
+        next_seq += 1
+        affected.extend(wrap(convert_to_internal(f, vopts), vopts))
+
+    for f in hashed["add"].values():
+        _append(f)
+    for u in hashed["update"].values():
+        if u.get("newGeometry"):
+            _append(
+                {
+                    "type": "Feature",
+                    "id": u["id"],
+                    "geometry": u["newGeometry"],
+                    "properties": {},
+                }
+            )
+
+    keys = affected_tile_keys(affected, vopts.max_zoom, vopts)
+    sub_keys = {tile_key(z, x, y) for (z, x, y) in keys if z == zh}
+    shallow_keys = {tile_key(z, x, y) for (z, x, y) in keys if z < zh}
+    all_state_keys = sub_keys | shallow_keys
+    hit_buckets = {abs(k) % buckets for k in all_state_keys}
+
+    # read ONLY the buckets that can hold affected rows, from base + chain
+    state_dirs = []
+    for root in [os.path.join(state_root, "base")] + chain:
+        base = root if root.endswith("base") else os.path.join(root, "rows")
+        for b in sorted(hit_buckets):
+            d = os.path.join(base, f"ck={b}")
+            if os.path.isdir(d):
+                state_dirs.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+
+    removed_all = removed_prior | removed_now
+    removed_arr = pa.array(sorted(removed_all), pa.int64())
+    shallow_arr = pa.array(sorted(shallow_keys), pa.int64())
+    sub_arr = pa.array(sorted(sub_keys), pa.int64())
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        kind = batch.column("kind")
+        tk = batch.column("tkey")
+        is_partial = pc.equal(kind, KIND_TILE_PARTIAL)
+        is_front = pc.or_(pc.equal(kind, KIND_FEATURE), pc.equal(kind, KIND_MARKER))
+        want = pc.or_(
+            pc.and_(is_partial, pc.is_in(tk, value_set=shallow_arr)),
+            pc.and_(is_front, pc.is_in(tk, value_set=sub_arr)),
+        )
+        if len(removed_arr):
+            want = pc.and_(
+                want, pc.invert(pc.is_in(batch.column("src_seq"), value_set=removed_arr))
+            )
+        return batch.filter(want)
+
+    from ..arrowio.codec import LEVEL_SCHEMA
+
+    if state_dirs:
+        # prune to the level schema + attribution column (drops the ck
+        # partition string Ray would otherwise re-infer from the path)
+        kept = ray.data.read_parquet(
+            state_dirs, columns=[f.name for f in LEVEL_SCHEMA] + ["src_seq"]
+        ).map_batches(keep_rows, batch_format="pyarrow")
+    else:
+        kept = None
+
+    # the diff is small by contract: cascade it DRIVER-side (two plain
+    # function calls over in-memory tables — no Ray round trips) and write
+    # the state patch with plain pyarrow
+    new_cas_table = None
+    pn = 0
+    while os.path.exists(
+        os.path.join(state_root, f"upd_{pn:04d}", "meta.json")
+    ):
+        pn += 1
+    patch_dir = os.path.join(state_root, f"upd_{pn:04d}")
+    import shutil as _shutil
+
+    _shutil.rmtree(patch_dir, ignore_errors=True)  # clear an aborted patch
+    if new_rows:
+        key_arrays = {
+            "feature_json": pa.array([r["feature_json"] for r in new_rows], pa.string()),
+            "input_seq": pa.array([r["input_seq"] for r in new_rows], pa.int64()),
+            key_col: pa.array([r[key_col] for r in new_rows], pa.string()),
+        }
+        new_cas_table = CascadePerFeature(vopts, zh)(
+            ConvertWrap(vopts)(pa.table(key_arrays))
+        )
+        # persist this update's state patch BEFORE filtering: later diffs
+        # may invalidate tiles this one didn't touch
+        import pyarrow.parquet as _pq
+
+        tk = new_cas_table.column("tkey").to_numpy()
+        rows_dir = os.path.join(patch_dir, "rows")
+        for b in sorted({abs(int(t)) % buckets for t in tk}):
+            bdir = os.path.join(rows_dir, f"ck={b}")
+            os.makedirs(bdir, exist_ok=True)
+            mask = pa.array([abs(int(t)) % buckets == b for t in tk])
+            _pq.write_table(
+                new_cas_table.filter(mask), os.path.join(bdir, "patch.parquet")
+            )
+    os.makedirs(patch_dir, exist_ok=True)
+
+    # small-state fast lane: when every affected bucket fits comfortably in
+    # driver memory, skip Ray Data entirely — read the slices with plain
+    # pyarrow and run the SAME drill callable in-process. The distributed
+    # path below exists for updates whose affected subtrees are genuinely
+    # big (dense regions at 10^12-row scale); both produce identical rows.
+    small_bytes = int(os.environ.get("GRAFT_UPDATE_SMALL_STATE", 256 << 20))
+    state_bytes = sum(os.path.getsize(p) for p in state_dirs)
+    if state_bytes <= small_bytes:
+        import pyarrow.parquet as _pq
+
+        from .cascade import TILE_COLUMNS, UnifiedDrillOrMerge
+
+        cols = [f.name for f in LEVEL_SCHEMA] + ["src_seq"]
+        pieces = [
+            keep_rows(_pq.read_table(p, columns=cols)).select(cols)
+            for p in state_dirs
+        ]
+        if new_cas_table is not None:
+            pieces.append(keep_rows(new_cas_table).select(cols))
+        pieces = [p for p in pieces if p.num_rows]
+        if not pieces:
+            tiles_tbl = None
+        else:
+            tbl = pa.concat_tables(pieces).drop_columns(["src_seq"])
+            tiles_tbl = UnifiedDrillOrMerge(zh, vopts, None, tile_filter=keys)(tbl)
+        target, n_tomb = _write_overlay_table(tiles_tbl, keys, out_dir)
+        tmp = os.path.join(patch_dir, "meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "removed": sorted(removed_now),
+                    "added": added_map,
+                    "added_json": added_json,
+                    "next_seq": next_seq,
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(patch_dir, "meta.json"))
+        return {
+            "affected_tiles": len(keys),
+            "affected_subtrees": len(sub_keys),
+            "tombstones": n_tomb,
+            "update_dir": target,
+            "fast_path": True,
+            "small_state": True,
+        }
+
+    if new_cas_table is not None:
+        new_kept = ray.data.from_arrow(keep_rows(new_cas_table))
+        cur = new_kept if kept is None else kept.union(new_kept)
+    else:
+        cur = kept
+    if cur is None:
+        return {
+            "affected_tiles": 0,
+            "affected_subtrees": 0,
+            "tombstones": 0,
+            "update_dir": None,
+            "fast_path": True,
+        }
+
+    # tiny drills: size the single shuffle to the affected subtree count,
+    # not the build-scale bin count
+    pyramid_kwargs["drill_partitions"] = max(4, min(
+        int(pyramid_kwargs.get("drill_partitions", 64))
+        if pyramid_kwargs.get("drill_partitions") not in (None, "auto")
+        else 64,
+        4 * max(len(sub_keys), 1),
+    ))
+    pyramid_kwargs.setdefault("deepen", False)
+    tiles = build_pyramid_fast(
+        None, vopts, subtree_filter=sub_keys, cascade_rows=cur, **pyramid_kwargs
+    )
+    target, n_tomb = _write_update_overlay(tiles, keys, out_dir)
+    # commit the state patch LAST (meta.json presence = committed): a run
+    # killed mid-update leaves an uncommitted patch dir that loading skips;
+    # retrying the same diff re-resolves from the committed chain and
+    # rewrites an identical overlay, then commits — the same
+    # retry-to-resume contract as the pyramid writer
+    tmp = os.path.join(patch_dir, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "removed": sorted(removed_now),
+                "added": added_map,
+                "added_json": added_json,
+                "next_seq": next_seq,
+            },
+            f,
+        )
+    os.replace(tmp, os.path.join(patch_dir, "meta.json"))
+    return {
+        "affected_tiles": len(keys),
+        "affected_subtrees": len(sub_keys),
+        "tombstones": n_tomb,
+        "update_dir": target,
+        "fast_path": True,
+    }
+
+
 def incremental_update_pyramid(
     source_rows: "ray.data.Dataset",
     diff: dict,
@@ -233,9 +658,12 @@ def incremental_update_pyramid(
     from ..arrowio.codec import tile_key
     from .cascade import build_pyramid_fast
 
+    fast = _fast_update(source_rows, diff, options, out_dir, pyramid_kwargs)
+    if fast is not None:
+        return fast
+
     patched, affected = apply_diff_dataset(source_rows, diff, options)
     keys = affected_tile_keys(affected, options.max_zoom, options)
-    keys_ref = ray.put(keys)
 
     zh = min(pyramid_kwargs.get("z_handoff", 7), options.max_zoom)
     pyramid_kwargs["z_handoff"] = zh
@@ -244,56 +672,10 @@ def incremental_update_pyramid(
     tiles = build_pyramid_fast(
         patched, options, subtree_filter=sub_keys, **pyramid_kwargs
     )
-
-    def only_affected(batch: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
-        mask = [
-            (z, x, y) in ks
-            for z, x, y in zip(
-                batch.column("z").to_pylist(),
-                batch.column("x").to_pylist(),
-                batch.column("y").to_pylist(),
-            )
-        ]
-        return batch.filter(pa.array(mask))
-
-    changed = tiles.map_batches(only_affected, batch_format="pyarrow")
-    seq = len(glob.glob(os.path.join(out_dir, "_updates", "upd_*")))
-    target = os.path.join(out_dir, "_updates", f"upd_{seq:04d}")
-    changed.write_parquet(target)
-
-    # Tombstones: an affected key with no rebuilt tile means the tile ceased
-    # to exist (e.g. every feature in it was removed). Without an explicit
-    # marker the overlay would keep serving the stale base tile. Emitted as
-    # num_features = -1 rows; TileServer drops the key, compaction drops the
-    # base row. The scan reads only the written key columns (O(affected)).
-    import pyarrow.parquet as _pq
-
-    written: set[tuple[int, int, int]] = set()
-    for p in glob.glob(os.path.join(target, "*.parquet")):
-        t = _pq.read_table(p, columns=["z", "x", "y"])
-        written.update(
-            zip(*(t.column(c).to_pylist() for c in ("z", "x", "y")))
-        )
-    missing = sorted(keys - written)
-    if missing:
-        t = pa.table(
-            {
-                "z": pa.array([k[0] for k in missing], pa.int16()),
-                "x": pa.array([k[1] for k in missing], pa.int32()),
-                "y": pa.array([k[2] for k in missing], pa.int32()),
-                "features_json": pa.array(["[]"] * len(missing), pa.string()),
-                "num_points": pa.array([0] * len(missing), pa.int64()),
-                "num_simplified": pa.array([0] * len(missing), pa.int64()),
-                "num_features": pa.array([-1] * len(missing), pa.int64()),
-                "min_seq": pa.array([b""] * len(missing), pa.binary()),
-                "max_seq": pa.array([b""] * len(missing), pa.binary()),
-            }
-        )
-        _pq.write_table(t, os.path.join(target, "tombstones.parquet"))
+    target, n_tomb = _write_update_overlay(tiles, keys, out_dir)
     return {
         "affected_tiles": len(keys),
         "affected_subtrees": len(sub_keys),
-        "tombstones": len(missing),
+        "tombstones": n_tomb,
         "update_dir": target,
     }
