@@ -446,7 +446,7 @@ def embedding_dedup_clusters(
     (`WHERE vec_id = cluster_id` keeps one exemplar per cluster).
 
     Composition of two existing distributed stages: the exact grid
-    self-join for pairs, then hash-to-min label propagation
+    self-join for pairs, then large/small-star label propagation
     (`graph.connected_components`, O(E) int64 pairs per round). Only ids
     shuffle in the components rounds; embeddings never leave the pair
     stage."""

@@ -225,3 +225,41 @@ def scan_monsters(keyed_ds, key_cols: list[str], cap: int) -> dict:
         .to_pandas()
     )
     return monster_chunks(counts, key_cols, cap)
+
+
+def bounded_counts(keyed_ds, key_col: str, n_parts: int = 256):
+    """Per-key row counts with BOUNDED dispatch: per-batch Arrow C++
+    partial counts, then one groupby over ``n_parts`` hash partitions
+    with a vectorized re-aggregation per partition — never a Python
+    dispatch per distinct key. The drop-in replacement for
+    ``ds.groupby(k).count()`` wherever key cardinality is data-dependent
+    (cell ids at caller-chosen levels: a fine level over dense data has
+    millions of occupied cells, which re-enters the per-distinct-key
+    wall `scan_monsters`' docstring measures at 30x). Returns a Dataset
+    with columns ``(key_col, "count()")``. Keys must be ints.
+    """
+    import pyarrow as pa
+
+    _KM = np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select([key_col]).group_by([key_col]).aggregate([([], "count_all")])
+        h = (g.column(key_col).to_numpy().astype(np.uint64)) * _KM
+        h = (h ^ (h >> np.uint64(31))) * _KM
+        return g.append_column(
+            "pk", pa.array((h % np.uint64(n_parts)).astype(np.int64))
+        )
+
+    def reduce_part(group: pa.Table) -> pa.Table:
+        g = (
+            group.select([key_col, "count_all"])
+            .group_by([key_col])
+            .aggregate([("count_all", "sum")])
+        )
+        return g.rename_columns([key_col, "count()"])
+
+    return (
+        keyed_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("pk")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )

@@ -72,10 +72,14 @@ def with_s2_cell_id(ds: "ray.data.Dataset", level: int) -> "ray.data.Dataset":
 
 
 def s2_cell_counts(ds: "ray.data.Dataset", level: int) -> "ray.data.Dataset":
-    """Rows per S2 cell (native partial-agg groupby; only (cell, count)
-    pairs shuffle)."""
+    """Rows per S2 cell. Bounded-dispatch count (`blocking.bounded_counts`):
+    occupied-cell cardinality is caller-chosen (level >= 15 over global
+    data means millions of cells), so the count must never dispatch per
+    distinct cell."""
+    from .blocking import bounded_counts
+
     tagged = with_s2_cell_id(ds, level).select_columns(["s2_cell"])
-    return tagged.groupby("s2_cell").count()
+    return bounded_counts(tagged, "s2_cell")
 
 
 def with_hex_cell(ds: "ray.data.Dataset", res: int) -> "ray.data.Dataset":
@@ -96,9 +100,11 @@ def with_hex_cell(ds: "ray.data.Dataset", res: int) -> "ray.data.Dataset":
 
 
 def hex_cell_counts(ds: "ray.data.Dataset", res: int) -> "ray.data.Dataset":
-    """Rows per hex cell (native partial-agg groupby)."""
+    """Rows per hex cell (bounded-dispatch count; see `s2_cell_counts`)."""
+    from .blocking import bounded_counts
+
     tagged = with_hex_cell(ds, res).select_columns(["hex_cell"])
-    return tagged.groupby("hex_cell").count()
+    return bounded_counts(tagged, "hex_cell")
 
 
 def hex_smoothed_density(ds: "ray.data.Dataset", res: int, k: int = 1) -> "ray.data.Dataset":
@@ -135,11 +141,12 @@ def hex_smoothed_density(ds: "ray.data.Dataset", res: int, k: int = 1) -> "ray.d
 def cell_counts(
     ds: "ray.data.Dataset", level: int, curve: str = "morton"
 ) -> "ray.data.Dataset":
-    """Rows per curve cell at `level` (native groupby.count — partial
-    aggregation happens inside Ray's Aggregate, only (cell, count) pairs
-    shuffle)."""
+    """Rows per curve cell at `level` (bounded-dispatch count; see
+    `s2_cell_counts`)."""
+    from .blocking import bounded_counts
+
     tagged = with_cell_id(ds, level, curve).select_columns(["cell"])
-    return tagged.groupby("cell").count()
+    return bounded_counts(tagged, "cell")
 
 
 def knn_radius_join_cells(

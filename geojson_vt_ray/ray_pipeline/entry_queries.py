@@ -542,7 +542,7 @@ def q_doc_simhash_pairs(sf_dir: str):
 
 def q_doc_dedup_clusters(sf_dir: str):
     """Near-dup clusters: connected components of the SimHash (Hamming ≤ 3)
-    pair graph via distributed hash-to-min; every doc labeled with the min
+    pair graph via distributed star contraction; every doc labeled with the min
     doc_id of its component plus the component size. Oracle: the same pair
     graph in SQL + a recursive min-label propagation CTE."""
     from .text import simhash_dedup_clusters

@@ -1392,7 +1392,7 @@ def simhash_dedup_clusters(
     graph, one row per document with its cluster representative and size.
 
     Pipeline: `simhash_near_dup_pairs` (exact pigeonhole banding) → 
-    `graph.connected_components` (hash-to-min, O(log d) bucketed groupby
+    `graph.connected_components` (large/small-star, O(log n) bucketed groupby
     rounds) → one vectorized groupby to attach cluster sizes. Every doc is
     labeled — singletons get cluster_id == doc_id, cluster_size == 1 — so
     `WHERE doc_id = cluster_id` is the canonical keep-one-per-cluster dedup

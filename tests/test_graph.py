@@ -106,3 +106,45 @@ def test_simhash_dedup_clusters_consistent_with_pairs(ray_session):
     for _, row in out.iterrows():
         assert row["cluster_size"] == sizes[row["cluster_id"]]
     assert any(s > 1 for s in sizes.values())
+
+
+def test_star_contraction_logarithmic_rounds_on_paths(ray_session):
+    """Pin the O(log n) round claim AND the bounded-state property
+    (round-5 task 5): adversarial path graphs (diameter = n-1, the worst
+    case for min-label contraction) must converge in <= 2·log2(n) + 8
+    star-rounds with EXACT labels (every node of a 0-1-2-...-n-1 path
+    labels to 0).  This test is what exposed hash-to-min's ~0.6·n²
+    intermediate pair blow-up (2^16 path → 2.7e9 pairs → object-store
+    spill filled the disk) and motivated the switch to large/small-star,
+    whose per-round state is O(V+E) — see graph.py's module docstring."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.graph import connected_components
+
+    measured = {}
+    for p in (10, 13, 16):
+        n = 1 << p
+        a = np.arange(n - 1, dtype=np.int64)
+        edges = ray.data.from_arrow(
+            pa.table({"doc_a": pa.array(a), "doc_b": pa.array(a + 1)})
+        )
+        stats: dict = {}
+        out = connected_components(
+            edges, n_buckets=16, max_rounds=64, stats_out=stats
+        ).materialize()
+        assert stats["converged"], (p, stats)
+        bound = 2 * int(math.log2(n)) + 8
+        assert stats["rounds"] <= bound, (p, stats["rounds"], bound)
+        measured[p] = stats["rounds"]
+        # exact labels: one component, min id 0
+        t = pa.concat_tables(ray.get(out.to_arrow_refs()))
+        assert t.num_rows == n
+        comp = t.column("component").to_numpy()
+        assert (comp == 0).all()
+    # logarithmic growth, not linear: growing the diameter 64x may add
+    # only ~2·log2(64)=12 star-rounds
+    assert measured[16] - measured[10] <= 16, measured
