@@ -1077,38 +1077,27 @@ def q_img_multimodal(sf_dir: str):
     )
 
 
-def q_ann_approx_topk(sf_dir: str):
-    """Both approximate-ANN variants in one driver row (non-SQL: recall is
-    the pytest contract): `q_ann_lsh_topk` (multi-probe LSH) and
-    `q_ann_ivf_topk` (IVF-flat), unioned with a method column."""
+def q_events_value_quantiles(sf_dir: str):
+    """EXACT global quantiles of events.value — the oracled exact twin of
+    the MRL sketch row in `q_sketches` (`sketch.exact_quantiles_global`:
+    distributed selection by iterative histogram refinement, ~3 streaming
+    passes over the one pruned column instead of an all-to-all sort;
+    bit-equal to DuckDB quantile_cont)."""
+    from .sketch import exact_quantiles_global
 
-    def tag(method: str):
-        def fn(b: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "method": pa.array([method] * b.num_rows, pa.string()),
-                    "query_id": b.column("query_id"),
-                    "neighbor_id": b.column("neighbor_id"),
-                    "cos_sim": b.column("cos_sim"),
-                }
-            )
-
-        return fn
-
-    return _norm_union(
-        [
-            q_ann_lsh_topk(sf_dir).map_batches(tag("lsh"), batch_format="pyarrow"),
-            q_ann_ivf_topk(sf_dir).map_batches(tag("ivf"), batch_format="pyarrow"),
-        ]
-    )
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_quantiles_global(ev, "value", [0.1, 0.5, 0.9, 0.99])
 
 
 def q_sketches(sf_dir: str):
-    """The three mergeable-sketch pipelines in one driver row (non-SQL:
+    """ALL the approximate pipelines in one driver row (non-SQL:
     approximate by nature, each pinned vs its exact twin in pytest):
-    `q_events_hll_users` (HyperLogLog), `q_events_value_sketch` (MRL
-    quantiles) and `q_doc_heavy_hitters` (Misra–Gries), unioned as
-    (kind, key, value, aux)."""
+    the three mergeable sketches — `q_events_hll_users` (HyperLogLog),
+    `q_events_value_sketch` (MRL quantiles, exact twin
+    `q_events_value_quantiles`), `q_doc_heavy_hitters` (Misra–Gries) —
+    plus both approximate-ANN variants, `q_ann_lsh_topk` (multi-probe
+    LSH) and `q_ann_ivf_topk` (IVF-flat, recall pinned vs brute force
+    in pytest), unioned as (kind, key, value, aux)."""
 
     def hll_rows(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -1140,23 +1129,40 @@ def q_sketches(sf_dir: str):
             }
         )
 
+    def ann_rows(method: str):
+        def fn(b: pa.Table) -> pa.Table:
+            q = b.column("query_id").to_pylist()
+            nb = b.column("neighbor_id").to_pylist()
+            return pa.table(
+                {
+                    "kind": pa.array([f"ann_{method}"] * b.num_rows, pa.string()),
+                    "key": pa.array([f"{a}:{c}" for a, c in zip(q, nb)], pa.string()),
+                    "value": b.column("cos_sim").cast(pa.float64()),
+                    "aux": b.column("query_id").cast(pa.float64()),
+                }
+            )
+
+        return fn
+
     return _norm_union(
         [
             q_events_hll_users(sf_dir).map_batches(hll_rows, batch_format="pyarrow"),
             q_events_value_sketch(sf_dir).map_batches(quant_rows, batch_format="pyarrow"),
             q_doc_heavy_hitters(sf_dir).map_batches(hh_rows, batch_format="pyarrow"),
+            q_ann_lsh_topk(sf_dir).map_batches(ann_rows("lsh"), batch_format="pyarrow"),
+            q_ann_ivf_topk(sf_dir).map_batches(ann_rows("ivf"), batch_format="pyarrow"),
         ]
     )
 
 
 # Registry order matters: the driver runs queries in dict order and caps the
-# CORRECTNESS run at 50 rows (r2 ran exactly the first 50 of 56).  All 46
+# CORRECTNESS run at 50 rows (r2 ran exactly the first 50 of 56).  All 47
 # SQL-oracled queries come first so every oracle-checkable pipeline gets a
-# driver row; the 4 no-oracle entries (merged unions carrying all 11
+# driver row; the 3 no-oracle entries (merged unions carrying all 12
 # pytest-oracled pipelines — see above) follow, so EVERY registered
-# pipeline now surfaces a CORRECTNESS row under the 50-row cap.
+# pipeline surfaces a CORRECTNESS row under the 50-row cap.
 QUERIES: dict[str, Callable[[str], Any]] = {
-    # ---- SQL-oracled (46) ---------------------------------------------
+    # ---- SQL-oracled (47) ---------------------------------------------
     "img_tile_assign": q_img_tile_assign,
     "img_tile_counts": q_img_tile_counts,
     "img_rect_join": q_img_rect_join,
@@ -1203,10 +1209,10 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "doc_sample": q_doc_sample,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_stratified_sample": q_doc_stratified_sample,
-    # ---- pytest-oracled / non-SQL (4 union rows, 11 pipelines) --------
+    "events_value_quantiles": q_events_value_quantiles,
+    # ---- pytest-oracled / non-SQL (3 union rows, 12 pipelines) --------
     "rect_pyramid_raster": q_rect_pyramid_raster,
     "img_multimodal": q_img_multimodal,
-    "ann_approx_topk": q_ann_approx_topk,
     "sketches": q_sketches,
 }
 
@@ -1876,6 +1882,17 @@ ORACLES: dict[str, str] = {
                quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p90_chars,
                COUNT(*) AS n_docs
         FROM documents GROUP BY lang
+    """,
+    "events_value_quantiles": """
+        WITH s AS (
+          SELECT quantile_cont(CAST(value AS DOUBLE),
+                               [0.1, 0.5, 0.9, 0.99]) AS vs,
+                 COUNT(*) AS n
+          FROM events
+        )
+        SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q,
+               unnest(vs) AS value, n
+        FROM s
     """,
     "doc_stratified_sample": """
         SELECT doc_id, lang, h, rn AS rank FROM (

@@ -157,6 +157,223 @@ def quantile_sketch_column(
     )
 
 
+def _range_histograms(
+    ds: "ray.data.Dataset",
+    column: str,
+    ranges: list[tuple[float, float, bool]],
+    edges_per_range: list[np.ndarray],
+    n_slots: int,
+) -> np.ndarray:
+    """One full pass: per-batch histogram counts for every active
+    (lo, hi, inclusive_hi) range against its driver-computed internal
+    edge array, reduced through a BOUNDED groupby (≤ len(ranges)·n_slots
+    slots) so only tiny (slot, cnt) rows shuffle. Binning is
+    ``searchsorted(edges, v, 'right')`` — bin b is exactly
+    [edges[b-1], edges[b]), the SAME float comparisons the next round's
+    range-membership test applies, so boundary values can never be
+    counted in one round and excluded in the next. Returns int64 counts
+    of shape (len(ranges), n_slots)."""
+    nr = len(ranges)
+    los = np.array([r[0] for r in ranges], dtype=np.float64)
+    his = np.array([r[1] for r in ranges], dtype=np.float64)
+    incl = np.array([r[2] for r in ranges], dtype=bool)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+        slots: list[np.ndarray] = []
+        cnts: list[np.ndarray] = []
+        for i in range(nr):
+            lo, hi = los[i], his[i]
+            m = (v >= lo) & ((v < hi) | (incl[i] & (v == hi)))
+            if not m.any():
+                continue
+            b = np.searchsorted(edges_per_range[i], v[m], side="right")
+            s, c = np.unique(i * n_slots + b, return_counts=True)
+            slots.append(s)
+            cnts.append(c)
+        if not slots:
+            return pa.table(
+                {"slot": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "slot": pa.array(np.concatenate(slots)),
+                "cnt": pa.array(np.concatenate(cnts).astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.select_columns([column])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("slot")
+        .sum("cnt")
+        .take_all()
+    )
+    out = np.zeros(nr * n_slots, dtype=np.int64)
+    for r in rows:
+        out[int(r["slot"])] = int(r["sum(cnt)"])
+    return out.reshape(nr, n_slots)
+
+
+def exact_quantiles_global(
+    ds: "ray.data.Dataset",
+    column: str,
+    qs: list[float],
+    n_bins: int = 4096,
+    gather_threshold: int = 1 << 16,
+    max_rounds: int = 6,
+) -> "ray.data.Dataset":
+    """EXACT global quantiles (quantile_cont semantics) without a full
+    sort: distributed selection by iterative histogram refinement.
+
+    A global exact quantile is a selection problem — quantile_cont(q)
+    interpolates the order statistics at floor/ceil of (n-1)·q. Instead
+    of an all-to-all sort, each needed rank keeps a candidate value
+    range; every round ONE streaming pass histograms the column into
+    n_bins sub-bins per active range (bounded (slot, cnt) rows are all
+    that shuffles), the driver locates the rank's bin and narrows the
+    range by n_bins×. When a range holds ≤ gather_threshold values, one
+    final filtered pass pulls just those candidates and reads the order
+    statistic off a local sort. ceil(log_{n_bins}(n)) + 2 passes total
+    (~3 passes for 10^12 rows at the default 4096 bins); each pass reads
+    only the pruned column and ships kilobytes to the driver.
+
+    Exactness: the selected values are actual data values, and the final
+    interpolation uses the same symmetric lerp DuckDB's quantile_cont
+    evaluates (see `entry_queries.q_doc_length_quantiles`) — bit-equal
+    results. Massive ties are handled by the zero-width range fast path
+    (the order statistic is the range itself).
+
+    This is the exact twin of `quantile_sketch_column` (same (q, value,
+    n) output schema): the sketch is one pass with deterministic rank
+    error; this is a few passes for exactness.
+    """
+    from ray.data.aggregate import Count, Max, Min
+
+    stats = ds.select_columns([column]).aggregate(
+        Min(column), Max(column), Count()
+    )
+    n = int(stats["count()"])
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "q": pa.array(np.asarray(qs, np.float64)),
+                    "value": pa.array([float("nan")] * len(qs), pa.float64()),
+                    "n": pa.array([0] * len(qs), pa.int64()),
+                }
+            )
+        )
+    vmin = float(stats[f"min({column})"])
+    vmax = float(stats[f"max({column})"])
+
+    # 0-based order-statistic ranks needed across all quantiles
+    need: dict[int, float | None] = {}
+    for q in qs:
+        idx = (n - 1) * q
+        need[int(np.floor(idx))] = None
+        need[int(np.ceil(idx))] = None
+
+    # per-rank state: (lo, hi, inclusive_hi, count_below_lo, count_in_range)
+    state = {r: [vmin, vmax, True, 0, n] for r in need}
+
+    for _ in range(max_rounds):
+        active = [
+            r
+            for r, (lo, hi, _, _, cnt) in state.items()
+            if cnt > gather_threshold and hi > lo
+        ]
+        if not active:
+            break
+        # internal edges strictly inside (lo, hi); an empty array means no
+        # representable double lies between them — candidates are exactly
+        # {lo} (or {hi} when inclusive), split by a single edge at hi.
+        edges_list = []
+        for r in active:
+            lo, hi, *_ = state[r]
+            raw = lo + np.arange(1, n_bins, dtype=np.float64) * ((hi - lo) / n_bins)
+            internal = np.unique(raw[(raw > lo) & (raw < hi)])
+            edges_list.append(internal if len(internal) else np.array([hi]))
+        hist = _range_histograms(
+            ds, column, [tuple(state[r][:3]) for r in active], edges_list, n_bins + 1
+        )
+        for i, r in enumerate(active):
+            lo, hi, inclusive, below, _ = state[r]
+            edges = edges_list[i]
+            nb = len(edges) + 1
+            cum = np.cumsum(hist[i][:nb])
+            local_rank = r - below
+            b = int(np.searchsorted(cum, local_rank, side="right"))
+            if len(edges) == 1 and edges[0] == hi:
+                # adjacent-doubles fast path: bin 0 is exactly {lo},
+                # bin 1 exactly {hi}
+                val = lo if b == 0 else hi
+                state[r] = [val, val, True, below, 0]
+                need[r] = val
+                continue
+            new_lo = lo if b == 0 else float(edges[b - 1])
+            new_hi = float(edges[b]) if b < len(edges) else hi
+            state[r] = [
+                new_lo,
+                new_hi,
+                inclusive and b == nb - 1,
+                below + (int(cum[b - 1]) if b > 0 else 0),
+                int(hist[i][b]),
+            ]
+            if new_hi <= new_lo:
+                need[r] = new_lo
+
+    gather = [
+        (r, s) for r, s in state.items() if need[r] is None and not s[1] <= s[0]
+    ]
+    for r, (lo, hi, *_rest) in list(state.items()):
+        if need[r] is None and hi <= lo:
+            need[r] = lo
+    if gather:
+        los = np.array([s[0] for _, s in gather])
+        his = np.array([s[1] for _, s in gather])
+        incl = np.array([s[2] for _, s in gather], dtype=bool)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            v = batch.column(column).to_numpy(zero_copy_only=False).astype(np.float64)
+            m = np.zeros(len(v), dtype=bool)
+            for j in range(len(gather)):
+                m |= (v >= los[j]) & ((v < his[j]) | (incl[j] & (v == his[j])))
+            return pa.table({"v": pa.array(v[m], pa.float64())})
+
+        cand = np.sort(
+            np.concatenate(
+                [
+                    b["v"]
+                    for b in ds.select_columns([column])
+                    .map_batches(keep, batch_format="pyarrow")
+                    .iter_batches(batch_format="numpy")
+                ]
+                or [np.array([], np.float64)]
+            )
+        )
+        for j, (r, (lo, hi, inclusive, below, _cnt)) in enumerate(gather):
+            m = (cand >= lo) & ((cand < hi) | (inclusive & (cand == hi)))
+            need[r] = float(cand[m][r - below])
+
+    def qc(q: float) -> float:
+        idx = (n - 1) * q
+        lo_r = int(np.floor(idx))
+        hi_r = int(np.ceil(idx))
+        frac = idx - lo_r
+        return need[lo_r] * (1 - frac) + need[hi_r] * frac
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(np.asarray(qs, np.float64)),
+                "value": pa.array([qc(q) for q in qs], pa.float64()),
+                "n": pa.array([n] * len(qs), pa.int64()),
+            }
+        )
+    )
+
+
 class FrequencySketch:
     """Mergeable Misra–Gries heavy-hitter sketch with ≤ k counters.
 

@@ -157,3 +157,67 @@ def test_heavy_hitter_tokens_distributed(ray_session):
         assert row["est"] <= truth[row["token"]] <= row["est"] + row["err"]
     # with k_track >> distinct hot tokens the sketch recovers the exact head
     assert set(out["token"]) == set(exact_top)
+
+
+def test_exact_quantiles_global_bit_equal(ray_session):
+    """`exact_quantiles_global` (distributed selection by iterative
+    histogram refinement) must be BIT-EQUAL to quantile_cont's symmetric
+    lerp of the exact order statistics — including under massive ties,
+    extreme skew, and n smaller than the gather threshold."""
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.sketch import exact_quantiles_global
+
+    qs = [0.1, 0.5, 0.9, 0.99]
+    rng = np.random.default_rng(7)
+    cases = {
+        "uniform": rng.uniform(-5, 5, 200_000),
+        "ties": np.repeat([1.0, 2.0, 2.0, 3.0], 50_000).astype(np.float64),
+        "massive_tie": np.full(100_000, 3.14159),
+        "small": rng.normal(0, 1, 37),
+        "skew": np.concatenate(
+            [rng.uniform(0, 1, 199_990), rng.uniform(1e9, 2e9, 10)]
+        ),
+    }
+    for name, v in cases.items():
+        ds = ray.data.from_arrow(pa.table({"value": pa.array(v, pa.float64())}))
+        out = exact_quantiles_global(
+            ds, "value", qs, n_bins=64, gather_threshold=512, max_rounds=8
+        ).to_pandas()
+        a = np.sort(v.astype(np.float64))
+        for i, q in enumerate(qs):
+            idx = (len(a) - 1) * q
+            lo, hi = int(np.floor(idx)), int(np.ceil(idx))
+            frac = idx - lo
+            expect = a[lo] * (1 - frac) + a[hi] * frac
+            assert out["value"].values[i] == expect, (name, q)
+            assert out["n"].values[i] == len(a)
+
+
+def test_exact_quantiles_is_exact_twin_of_sketch(ray_session):
+    """The exact operator and the MRL sketch share the (q, value, n)
+    schema, and the sketch's answer stays within its pinned rank error
+    of the exact one on the same input."""
+    import pyarrow as pa
+    import ray.data
+
+    from geojson_vt_ray.ray_pipeline.sketch import (
+        exact_quantiles_global,
+        quantile_sketch_column,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.lognormal(0, 2, 100_000)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(v, pa.float64())}))
+    qs = [0.1, 0.5, 0.9]
+    exact = exact_quantiles_global(ds, "value", qs, n_bins=256).to_pandas()
+    approx = quantile_sketch_column(ds, "value", qs, k=256).to_pandas()
+    assert list(exact.columns) == list(approx.columns)
+    a = np.sort(v)
+    for i, q in enumerate(qs):
+        # rank error of the sketch answer vs the exact answer's rank
+        r_approx = np.searchsorted(a, approx["value"].values[i]) / len(a)
+        assert abs(r_approx - q) < 0.01, q
+        r_exact = np.searchsorted(a, exact["value"].values[i]) / len(a)
+        assert abs(r_exact - q) < 1e-4, q
