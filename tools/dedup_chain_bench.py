@@ -104,6 +104,7 @@ def main() -> None:
     # count is chosen for data size, and leg-to-leg CC differences beyond
     # that are host/context noise, not plan differences.
     cc_buckets = 128
+    cc_stats: dict = {}
     clusters = timed(
         "connected_components",
         lambda: labeled_clusters(
@@ -114,6 +115,7 @@ def main() -> None:
                 nodes=docs.select_columns(["doc_id"]),
                 node_col="doc_id",
                 n_buckets=cc_buckets,
+                stats_out=cc_stats,
             ),
             id_col="doc_id",
             n_buckets=cc_buckets,
@@ -140,6 +142,8 @@ def main() -> None:
                 "labeled_docs": n_labeled,
                 "clusters": n_clusters,
                 "expected_clusters": n_docs // 2,
+                "cc_star_rounds": cc_stats.get("rounds"),
+                "cc_converged": cc_stats.get("converged"),
                 "docs_per_sec": round(n_docs / total, 1),
             }
         )
