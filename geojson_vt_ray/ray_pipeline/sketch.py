@@ -202,16 +202,26 @@ def _range_histograms(
             }
         )
 
+    def combine(batch: pa.Table) -> pa.Table:
+        """Map-only tree-reduce level: sum (slot, cnt) partials within
+        each rebatched window — no shuffle; the stream rebatcher pools
+        many blocks' partials into one task."""
+        s = batch.column("slot").to_numpy()
+        c = batch.column("cnt").to_numpy()
+        u, inv = np.unique(s, return_inverse=True)
+        acc = np.zeros(len(u), dtype=np.int64)
+        np.add.at(acc, inv, c)
+        return pa.table({"slot": pa.array(u), "cnt": pa.array(acc)})
+
     rows = (
         ds.select_columns([column])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("slot")
-        .sum("cnt")
+        .map_batches(combine, batch_format="pyarrow", batch_size=1 << 20)
         .take_all()
     )
     out = np.zeros(nr * n_slots, dtype=np.int64)
     for r in rows:
-        out[int(r["slot"])] = int(r["sum(cnt)"])
+        out[int(r["slot"])] += int(r["cnt"])
     return out.reshape(nr, n_slots)
 
 
@@ -288,15 +298,28 @@ def exact_quantiles_global(
         # internal edges strictly inside (lo, hi); an empty array means no
         # representable double lies between them — candidates are exactly
         # {lo} (or {hi} when inclusive), split by a single edge at hi.
+        # Identical ranges (all of round 1; adjacent ranks often after)
+        # are histogrammed ONCE and shared.
         edges_list = []
+        uniq_ranges: list[tuple] = []
+        uniq_edges: list[np.ndarray] = []
+        slot_of: dict[tuple, int] = {}
+        range_slot: list[int] = []
         for r in active:
-            lo, hi, *_ = state[r]
-            raw = lo + np.arange(1, n_bins, dtype=np.float64) * ((hi - lo) / n_bins)
-            internal = np.unique(raw[(raw > lo) & (raw < hi)])
-            edges_list.append(internal if len(internal) else np.array([hi]))
-        hist = _range_histograms(
-            ds, column, [tuple(state[r][:3]) for r in active], edges_list, n_bins + 1
-        )
+            lo, hi, inclusive, *_ = state[r]
+            key = (lo, hi, inclusive)
+            if key not in slot_of:
+                raw = lo + np.arange(1, n_bins, dtype=np.float64) * (
+                    (hi - lo) / n_bins
+                )
+                internal = np.unique(raw[(raw > lo) & (raw < hi)])
+                slot_of[key] = len(uniq_ranges)
+                uniq_ranges.append(key)
+                uniq_edges.append(internal if len(internal) else np.array([hi]))
+            range_slot.append(slot_of[key])
+        uhist = _range_histograms(ds, column, uniq_ranges, uniq_edges, n_bins + 1)
+        hist = uhist[range_slot]
+        edges_list = [uniq_edges[s] for s in range_slot]
         for i, r in enumerate(active):
             lo, hi, inclusive, below, _ = state[r]
             edges = edges_list[i]
