@@ -28,6 +28,8 @@ from __future__ import annotations
 import json
 
 import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..options import TilerOptions
 from .tile import tile_tolerance
@@ -285,24 +287,113 @@ def _emit_level(
         ix[fwd] = ix[bwd].copy()
         iy[fwd] = iy[bwd].copy()
 
-    pairs = np.empty((len(ix), 2), dtype=np.int64)
-    pairs[:, 0] = ix
-    pairs[:, 1] = iy
-    all_pairs = pairs.tolist()
-
     # per-feature emission: feature kept if any surviving ring (any point for
     # points class — their single ring always survives and must be non-empty)
     feat_rings_start = ws.part_off[ws.feat_off[:-1]]
-    feat_rings_end = ws.part_off[ws.feat_off[1:]]
+
+    # vectorized string assembly: per-feature prefix/suffix (type+tags / id)
+    # are static and pre-serialized in meta; only geometry JSON varies per
+    # tile, and it is pure int lists, so every string builds with Arrow C++
+    # casts and joins. Concatenation reproduces json.dumps (default
+    # separators render ints identically) byte-for-byte; the former
+    # per-feature dumps loop profiled at ~55% of drill wall time.
+    ftile = ws.feat_tile
+    fmeta = ws.feat_meta
+    pts_str = pc.binary_join_element_wise(
+        "[", pc.cast(pa.array(ix), pa.string()), ", ",
+        pc.cast(pa.array(iy), pa.string()), "]", "",
+    )
+    ring_str = pc.binary_join_element_wise(
+        "[",
+        pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(kept_off, type=pa.int64()), pts_str
+            ),
+            ", ",
+        ),
+        "]", "",
+    )
+
+    # lines/polys: surviving rings join per feature (ring storage is
+    # feature-contiguous, so emission order is preserved — empty simplified
+    # rings stay as "[]"); points take their single ring's string directly
+    surv_idx = np.flatnonzero(surv)
+    nsurv = np.bincount(rf[surv_idx], minlength=F) if R else np.zeros(F, dtype=np.int64)
+    geom_multi = pc.binary_join_element_wise(
+        "[",
+        pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(np.concatenate(([0], np.cumsum(nsurv))), type=pa.int64()),
+                pc.take(ring_str, pa.array(surv_idx)),
+            ),
+            ", ",
+        ),
+        "]", "",
+    )
+    points_mask = ws.feat_class == CLASS_POINTS
+    r0c = np.minimum(feat_rings_start, max(R - 1, 0))
+    if R:
+        geom = pc.if_else(
+            pa.array(points_mask), pc.take(ring_str, pa.array(r0c)), geom_multi
+        )
+        kept_feat = np.where(points_mask, kept_per_ring[r0c] > 0, nsurv > 0)
+    else:
+        geom = geom_multi
+        kept_feat = np.zeros(F, dtype=bool)
+
+    meta_prefix = pa.array([m[1] for m in meta], pa.string())
+    meta_suffix = pa.array([m[2] for m in meta], pa.string())
+    fmeta_pa = pa.array(fmeta)
+    feat_str = pc.binary_join_element_wise(
+        pc.take(meta_prefix, fmeta_pa), geom, pc.take(meta_suffix, fmeta_pa), "",
+    )
+
+    # per-tile assembly: kept features stably sorted by tile keep the scalar
+    # loop's append order (feature index ascending within a tile)
+    kidx = np.flatnonzero(kept_feat)
+    korder = kidx[np.argsort(ftile[kidx], kind="stable")]
+    t_off = np.concatenate(([0], np.cumsum(np.bincount(ftile[kidx], minlength=T))))
+    fj_arr = pc.binary_join_element_wise(
+        "[",
+        pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(t_off, type=pa.int64()), pc.take(feat_str, pa.array(korder))
+            ),
+            ", ",
+        ),
+        "]", "",
+    )
+
+    # min/max seq per tile replicate the scalar loop exactly: min = first
+    # truthy seq in feature order (skipped-geometry features included),
+    # max = the last feature's seq unconditionally
+    min_seq = [b""] * T
+    max_seq = [b""] * T
+    if F:
+        seq_of = [meta[m][0] for m in fmeta.tolist()]
+        order_all = np.argsort(ftile, kind="stable")
+        st = ftile[order_all]
+        gstart = np.flatnonzero(np.concatenate(([True], st[1:] != st[:-1])))
+        gend = np.concatenate((gstart[1:], [len(st)]))
+        for gi in range(len(gstart)):
+            seg = order_all[gstart[gi] : gend[gi]]
+            ti = int(st[gstart[gi]])
+            max_seq[ti] = seq_of[seg[-1]]
+            for fi in seg.tolist():
+                s = seq_of[fi]
+                if s:
+                    min_seq[ti] = s
+                    break
 
     # optional in-drill MVT emission (byte-identical to features_json →
     # mvt_sink.mvt_tiles, but geometry bytes come straight from the level's
-    # integer arrays — no JSON round trip): builders carrying an `mvt_cfg`
-    # get one vectorized command-buffer pass per level plus a cheap
-    # per-feature assembly that rides the existing emission loop.
+    # integer arrays — no JSON round trip): one vectorized command-buffer
+    # pass per level plus a cheap per-feature assembly over the kept order.
     mvt_cfg = getattr(out, "mvt_cfg", None)
+    mvt_blobs = None
+    empty_mvt = None
     if mvt_cfg is not None:
-        from .mvt_fast import level_mvt_geometry, mvt_static_from_meta
+        from .mvt_fast import assemble_tile_mvt, level_mvt_geometry, mvt_static_from_meta
 
         gbuf, fgs, fge = level_mvt_geometry(
             ix, iy, kept_off, kept_per_ring, surv, ring_cls, rf,
@@ -312,63 +403,15 @@ def _emit_level(
         fge_l = fge.tolist()
         mvt_cache = out.mvt_meta_cache
         tile_mvt: list[list] = [[] for _ in range(T)]
-
-    # string assembly: per-feature prefix/suffix (type+tags / id) are static
-    # and pre-serialized in meta; only geometry JSON varies per tile, and it
-    # is pure int lists (C-fast json path). Concatenation reproduces
-    # json.dumps({"type","tags","geometry"[,"id"]}) byte-for-byte.
-    tile_feats: list[list] = [[] for _ in range(T)]
-    min_seq = [b""] * T
-    max_seq = [b""] * T
-    kept_off_l = kept_off.tolist()
-    kept_per_ring_l = kept_per_ring.tolist()
-    surv_l = surv.tolist()
-    cls_l = ws.feat_class.tolist()
-    ftile_l = ws.feat_tile.tolist()
-    fmeta_l = ws.feat_meta.tolist()
-    rs_l = feat_rings_start.tolist()
-    re_l = feat_rings_end.tolist()
-    dumps = json.dumps
-    for fi in range(F):
-        ti = ftile_l[fi]
-        seq, prefix, suffix = meta[fmeta_l[fi]]
-        if not min_seq[ti]:
-            min_seq[ti] = seq
-        max_seq[ti] = seq
-        r0 = rs_l[fi]
-        if cls_l[fi] == CLASS_POINTS:
-            o = kept_off_l[r0]
-            geom = all_pairs[o : o + kept_per_ring_l[r0]]
-            if not geom:
-                continue
-        else:
-            r1 = re_l[fi]
-            geom = [
-                all_pairs[kept_off_l[r] : kept_off_l[r] + kept_per_ring_l[r]]
-                for r in range(r0, r1)
-                if surv_l[r]
-            ]
-            if not geom:
-                continue
-        tile_feats[ti].append(prefix + dumps(geom) + suffix)
-        if mvt_cfg is not None:
+        ftile_l = ftile.tolist()
+        fmeta_l = fmeta.tolist()
+        for fi in korder.tolist():
+            _, prefix, suffix = meta[fmeta_l[fi]]
             ck = (prefix, suffix)
             static = mvt_cache.get(ck)
             if static is None:
                 static = mvt_cache[ck] = mvt_static_from_meta(prefix, suffix)
-            tile_mvt[ti].append((static, fgs_l[fi], fge_l[fi]))
-
-    xs_l = tiles_xy[:, 0].tolist()
-    ys_l = tiles_xy[:, 1].tolist()
-    tkeys = (
-        ((np.int64(1) << z) * tiles_xy[:, 1] + tiles_xy[:, 0]) * 32 + z
-    ).tolist()
-    fj = ["[" + ", ".join(fl) + "]" if fl else "[]" for fl in tile_feats]
-    mvt_blobs = None
-    empty_mvt = None
-    if mvt_cfg is not None:
-        from .mvt_fast import assemble_tile_mvt
-
+            tile_mvt[ftile_l[fi]].append((static, fgs_l[fi], fge_l[fi]))
         layer_bytes, extent_ = out.mvt_layer_bytes, mvt_cfg[1]
         empty_mvt = out.mvt_empty_blob
         mvt_blobs = [
@@ -377,6 +420,13 @@ def _emit_level(
             else empty_mvt
             for entries in tile_mvt
         ]
+
+    xs_l = tiles_xy[:, 0].tolist()
+    ys_l = tiles_xy[:, 1].tolist()
+    tkeys = (
+        ((np.int64(1) << z) * tiles_xy[:, 1] + tiles_xy[:, 0]) * 32 + z
+    ).tolist()
+    fj = fj_arr.to_pylist()
     out.add_tiles_bulk(
         z, xs_l, ys_l, tkeys, fj,
         num_points.tolist(), num_simplified.tolist(), num_features.tolist(),
