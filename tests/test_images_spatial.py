@@ -154,3 +154,58 @@ def test_pip_join_matches_bruteforce(ray_session):
     # boundary-exact points may differ on the edge; interiors must match
     assert not missing, list(missing)[:5]
     assert not extra, list(extra)[:5]
+
+
+def test_pip_join_world_flat_index_matches_bruteforce(ray_session):
+    """pip_join_world (flat broadcast edge index) must agree with the exact
+    rectangle-interior oracle: rect edges are axis-aligned and corners are
+    exact dyadics, so world-space even-odd membership IS the open interior."""
+    from geojson_vt_ray.ray_pipeline.images import image_dataset
+    from geojson_vt_ray.ray_pipeline.spatial import (
+        build_pip_edge_index,
+        pip_join_world,
+        slice_polygons_to_tiles,
+    )
+    from geojson_vt_ray.datagen.rects import rect_internal_features
+
+    z = 4
+    nrects = 25
+    rects = rect_table(np.arange(1, nrects + 1))
+    tile_polys = slice_polygons_to_tiles(
+        rect_internal_features(np.arange(1, nrects + 1)), z
+    )
+
+    # the flat index must cover every edge of every tile exactly once
+    idx = build_pip_edge_index(tile_polys)
+    n_edges = sum(
+        len(ring) - 1
+        for polys in tile_polys.values()
+        for _, rings in polys
+        for ring in rings
+    )
+    assert len(idx["xs"]) == n_edges
+    assert idx["edge_off"][-1] == n_edges
+    assert len(idx["pids"]) == sum(len(p) for p in tile_polys.values())
+    assert np.all(np.diff(idx["tkeys"].astype(np.uint64)) > 0)
+
+    n = 3000
+    images = image_dataset(n, with_bytes=False)
+    got = {
+        (r["image_id"], r["rect_id"])
+        for r in pip_join_world(images, tile_polys, z).iter_rows()
+    }
+
+    ph = phash_of_index_vec(np.arange(n))
+    mx, my = mercator_xy(ph)
+    expected = set()
+    for j in range(nrects):
+        mask = (
+            (mx > rects["x0"][j])
+            & (mx < rects["x1"][j])
+            & (my > rects["y0"][j])
+            & (my < rects["y1"][j])
+        )
+        for i in np.nonzero(mask)[0]:
+            expected.add((f"img-{i:012d}", int(rects["rect_id"][j])))
+    assert got == expected
+    assert len(expected) > 0
