@@ -1254,24 +1254,40 @@ def hamming_near_dup_pairs(
         a sorted segment, ~µs each — a naive groupby-per-bucket pays a
         Python map_groups dispatch per bucket, which collapses at millions
         of tiny buckets (2M rows end-to-end measured 117 s before this
-        shape + the bounded monster-scan/dedup, ~11 s after, 32 CPUs)."""
-        ids_col = group.column("doc_id")
+        shape + the bounded monster-scan/dedup, ~11 s after, 32 CPUs).
+
+        Ids never leave Arrow: ONE C++ multi-key sort with doc_id as the
+        LAST key leaves every triangle segment already id-ordered (UTF-8
+        byte order == code-point order, so Arrow's string sort agrees with
+        Python's), pair emission accumulates int64 row indices, and a
+        single take + if_else pass canonicalizes a <= b — replacing the
+        old per-partition to_pylist()/argsort(object)/tolist() round trip
+        that materialized millions of Python string objects per run."""
+        import pyarrow.compute as pc
+
         n = group.num_rows
         if n == 0:
-            return _empty_pairs(ids_col.type)
+            return _empty_pairs(group.column("doc_id").type)
+        order_arr = pc.sort_indices(
+            group,
+            sort_keys=[
+                ("band", "ascending"),
+                ("bval", "ascending"),
+                ("c1", "ascending"),
+                ("c2", "ascending"),
+                ("doc_id", "ascending"),
+            ],
+        )
+        group = group.take(order_arr)
         band = group.column("band").to_numpy()
         bval = group.column("bval").to_numpy()
         c1 = group.column("c1").to_numpy()
         c2 = group.column("c2").to_numpy()
         chunk = group.column("chunk").to_numpy()
-        order = np.lexsort((c2, c1, bval, band))
-        band, bval, c1, c2, chunk = (
-            a[order] for a in (band, bval, c1, c2, chunk)
-        )
-        sig = group.column("simhash").to_numpy().astype(np.uint64)[order]
-        if isinstance(ids_col, pa.ChunkedArray):
-            ids_col = ids_col.combine_chunks()
-        ids = np.asarray(ids_col.to_pylist(), dtype=object)[order]
+        sig = group.column("simhash").to_numpy().astype(np.uint64)
+        ids_sorted = group.column("doc_id")
+        if isinstance(ids_sorted, pa.ChunkedArray):
+            ids_sorted = ids_sorted.combine_chunks()
         new_seg = np.r_[
             True,
             (band[1:] != band[:-1])
@@ -1281,21 +1297,37 @@ def hamming_near_dup_pairs(
         ]
         starts = np.flatnonzero(new_seg)
         ends = np.r_[starts[1:], n]
-        out_as: list[np.ndarray] = []
-        out_bs: list[np.ndarray] = []
+        lens = ends - starts
+        out_ai: list[np.ndarray] = []
+        out_bi: list[np.ndarray] = []
         out_hs: list[np.ndarray] = []
-        out_dk: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            seg_len = int(e - s)
-            if seg_len < 2:
-                continue
+        # a real-world partition is dominated by len-1 segments (skipped
+        # outright) and len-2 segments (a doc and its twin): emit ALL len-2
+        # pairs in one vectorized shot — a triangle bucket of two always
+        # pairs, a cross-chunk bucket of two pairs iff it holds one member
+        # of each chunk — leaving the Python loop only the rare len>2
+        # buckets (was: ~10 µs × every segment, singletons included)
+        s2 = starts[lens == 2]
+        if len(s2):
+            ok2 = (c1[s2] == c2[s2]) | (chunk[s2] != chunk[s2 + 1])
+            s2 = s2[ok2]
+        if len(s2):
+            ham2 = _popcount64(np.bitwise_xor(sig[s2], sig[s2 + 1])).astype(
+                np.int64
+            )
+            keep2 = ham2 <= max_hamming
+            if keep2.any():
+                out_ai.append(s2[keep2].astype(np.int64))
+                out_bi.append(s2[keep2].astype(np.int64) + 1)
+                out_hs.append(ham2[keep2])
+        for si in np.flatnonzero(lens > 2):
+            s = int(starts[si])
+            e = int(ends[si])
+            seg_len = e - s
             ssig = sig[s:e]
-            sids = ids[s:e]
             if c1[s] == c2[s]:
-                # triangle: sort by id so emitted pairs satisfy a <= b
-                o = np.argsort(sids, kind="stable")
-                sids = sids[o]
-                ssig = ssig[o]
+                # triangle: rows already id-sorted, so ii < jj implies
+                # id[ii] <= id[jj]
                 ii, jj = np.triu_indices(seg_len, k=1)
             else:
                 li = np.flatnonzero(chunk[s:e] == c1[s])
@@ -1311,35 +1343,38 @@ def hamming_near_dup_pairs(
             if not keep.any():
                 continue
             ii, jj, ham = ii[keep], jj[keep], ham[keep]
-            a, b = sids[ii].copy(), sids[jj].copy()
-            sa, sb = ssig[ii].copy(), ssig[jj].copy()
-            swap = a > b
-            a[swap], b[swap] = b[swap], a[swap]
-            sa[swap], sb[swap] = sb[swap], sa[swap]
-            # dedup partition key: a pure function of the (id-ordered)
-            # signature pair, so every band's duplicate of the same pair
-            # hashes to the same partition (collisions only affect balance
-            # — dedup itself groups on the full id pair)
-            dk = (sa * np.uint64(0x9E3779B97F4A7C15)) ^ (
-                sb * np.uint64(0xBF58476D1CE4E5B9)
-            )
-            dk = (dk ^ (dk >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
-            out_as.append(a)
-            out_bs.append(b)
+            out_ai.append(ii.astype(np.int64) + s)
+            out_bi.append(jj.astype(np.int64) + s)
             out_hs.append(ham)
-            out_dk.append(
-                ((dk ^ (dk >> np.uint64(29))) % np.uint64(n_partitions)).astype(
-                    np.int64
-                )
-            )
-        if not out_as:
-            return _empty_pairs(ids_col.type)
+        if not out_ai:
+            return _empty_pairs(ids_sorted.type)
+        a_idx = np.concatenate(out_ai)
+        b_idx = np.concatenate(out_bi)
+        a_arr = ids_sorted.take(pa.array(a_idx))
+        b_arr = ids_sorted.take(pa.array(b_idx))
+        # cross-chunk pairs may violate a <= b; canonicalize vectorized
+        swap = pc.greater(a_arr, b_arr)
+        swap_np = swap.to_numpy(zero_copy_only=False)
+        sa = np.where(swap_np, sig[b_idx], sig[a_idx])
+        sb = np.where(swap_np, sig[a_idx], sig[b_idx])
+        # dedup partition key: a pure function of the (id-ordered)
+        # signature pair, so every band's duplicate of the same pair
+        # hashes to the same partition (collisions only affect balance
+        # — dedup itself groups on the full id pair)
+        dk = (sa * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            sb * np.uint64(0xBF58476D1CE4E5B9)
+        )
+        dk = (dk ^ (dk >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
         return pa.table(
             {
-                "doc_a": pa.array(np.concatenate(out_as).tolist(), ids_col.type),
-                "doc_b": pa.array(np.concatenate(out_bs).tolist(), ids_col.type),
+                "doc_a": pc.if_else(swap, b_arr, a_arr),
+                "doc_b": pc.if_else(swap, a_arr, b_arr),
                 "hamming": pa.array(np.concatenate(out_hs)),
-                "dk": pa.array(np.concatenate(out_dk)),
+                "dk": pa.array(
+                    ((dk ^ (dk >> np.uint64(29))) % np.uint64(n_partitions)).astype(
+                        np.int64
+                    )
+                ),
             }
         )
 
