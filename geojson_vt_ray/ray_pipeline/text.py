@@ -555,9 +555,21 @@ def minhash_candidate_pairs(
         )
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
+        # vectorized fast path for the dominant segment shapes: len-1
+        # segments never pair (skipped wholesale) and len-2 segments — a
+        # doc and its twin — pair iff triangle bucket or one member per
+        # chunk of a cross block; only the rare len>2 buckets loop
+        lens = ends - starts
+        s2 = starts[lens == 2]
+        if len(s2):
+            ok2 = (c1[s2] == c2[s2]) | (chunk[s2] != chunk[s2 + 1])
+            s2 = s2[ok2]
+        if len(s2):
+            d0, d1 = doc[s2], doc[s2 + 1]
+            out_a.append(np.minimum(d0, d1))
+            out_b.append(np.maximum(d0, d1))
+        for si in np.flatnonzero(lens > 2):
+            s, e = int(starts[si]), int(ends[si])
             seg_doc = doc[s:e]
             if c1[s] == c2[s]:
                 ids = np.sort(seg_doc)
