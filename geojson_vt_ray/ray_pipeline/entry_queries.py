@@ -792,22 +792,83 @@ def q_tpch_cumulative_revenue(sf_dir: str):
     )
 
 
-def q_doc_sample(sf_dir: str):
-    """Deterministic hash sample (10%) of the documents table — the
-    reproducible-sampling primitive for training-data splits; oracle uses
-    the identical md5-derived bucket."""
+
+def q_doc_samples(sf_dir: str):
+    """Both deterministic sampling primitives in ONE oracled union row
+    (kind, doc_id, lang, h, rank): the 10% md5-bucket sample
+    (h = rank = 0) and the stratified 20-per-language md5-ordered sample
+    — merged so the 50-row driver cap gains a slot for `doc_dup_spans`
+    while both samplers keep an exact SQL oracle."""
+    from .relational import topk_per_group
     from .text import md5_u64
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
 
-    def fn(batch: pa.Table) -> pa.Table:
+    def hash10(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         keep = np.fromiter(
             (md5_u64(str(i).encode()) % 10 == 0 for i in ids), count=len(ids), dtype=bool
         )
-        return batch.filter(pa.array(keep))
+        sub = batch.filter(pa.array(keep))
+        z = np.zeros(sub.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "kind": pa.array(["hash10"] * sub.num_rows, pa.string()),
+                "doc_id": sub.column("doc_id"),
+                "lang": sub.column("lang"),
+                "h": pa.array(z),
+                "rank": pa.array(z),
+            }
+        )
 
-    return docs.map_batches(fn, batch_format="pyarrow")
+    def with_hash(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = np.fromiter(
+            (md5_u64(str(i).encode()) % (1 << 63) for i in ids),
+            count=len(ids),
+            dtype=np.int64,
+        )
+        return batch.append_column("h", pa.array(h, pa.int64()))
+
+    strat = topk_per_group(
+        docs.map_batches(with_hash, batch_format="pyarrow"),
+        key="lang",
+        order_col="h",
+        k=20,
+        tie_col="doc_id",
+        out_cols=["doc_id", "lang", "h"],
+    )
+
+    def strat_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "kind": pa.array(["strat20"] * b.num_rows, pa.string()),
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "h": b.column("h"),
+                "rank": b.column("rank").cast(pa.int64()),
+            }
+        )
+
+    return _norm_union(
+        [
+            docs.map_batches(hash10, batch_format="pyarrow"),
+            strat.map_batches(strat_rows, batch_format="pyarrow"),
+        ]
+    )
+
+
+def q_doc_dup_spans(sf_dir: str):
+    """Exact substring-duplicate spans (Lee et al. 2022 exact-substring
+    dedup): maximal per-document byte ranges covered by 30-byte windows
+    occurring >= 2 times anywhere in the corpus — one bounded windowed
+    shuffle + np.unique byte verification + vectorized span merge
+    (`text.duplicate_spans`). Oracle: DuckDB grams-via-numbers-table +
+    gaps-and-islands merge."""
+    from .text import duplicate_spans
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return duplicate_spans(docs, min_len=30)
 
 
 def q_doc_length_quantiles(sf_dir: str):
@@ -841,33 +902,6 @@ def q_doc_length_quantiles(sf_dir: str):
 
     return docs.groupby("lang").map_groups(per_lang, batch_format="pyarrow")
 
-
-def q_doc_stratified_sample(sf_dir: str):
-    """Stratified deterministic sample: 20 documents per language selected
-    by md5-derived order (reusing the distributed top-k-per-group
-    operator) — the reproducible per-class subsampling primitive."""
-    from .relational import topk_per_group
-    from .text import md5_u64
-
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
-
-    def with_hash(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        h = np.fromiter(
-            (md5_u64(str(i).encode()) % (1 << 63) for i in ids),
-            count=len(ids),
-            dtype=np.int64,
-        )
-        return batch.append_column("h", pa.array(h, pa.int64()))
-
-    return topk_per_group(
-        docs.map_batches(with_hash, batch_format="pyarrow"),
-        key="lang",
-        order_col="h",
-        k=20,
-        tie_col="doc_id",
-        out_cols=["doc_id", "lang", "h"],
-    )
 
 
 def _image_phash_rows(sf_dir: str) -> "ray.data.Dataset":
@@ -1206,9 +1240,9 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "events_distinct_users": q_events_distinct_users,
     "doc_top_tokens": q_doc_top_tokens,
     "doc_normalize": q_doc_normalize,
-    "doc_sample": q_doc_sample,
+    "doc_samples": q_doc_samples,
     "doc_length_quantiles": q_doc_length_quantiles,
-    "doc_stratified_sample": q_doc_stratified_sample,
+    "doc_dup_spans": q_doc_dup_spans,
     "events_value_quantiles": q_events_value_quantiles,
     # ---- pytest-oracled / non-SQL (3 union rows, 12 pipelines) --------
     "rect_pyramid_raster": q_rect_pyramid_raster,
@@ -1873,9 +1907,48 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS cum_revenue_cents
         FROM orders
     """,
-    "doc_sample": """
-        SELECT doc_id, lang FROM documents
+    "doc_samples": """
+        SELECT 'hash10' AS kind, doc_id, lang,
+               CAST(0 AS BIGINT) AS h, CAST(0 AS BIGINT) AS rank
+        FROM documents
         WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) AS HUGEINT) % 10 = 0
+        UNION ALL
+        SELECT 'strat20' AS kind, doc_id, lang, h, rn AS rank FROM (
+          SELECT doc_id, lang, h,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rn
+          FROM (SELECT doc_id, lang,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                            % 9223372036854775808 AS BIGINT) AS h
+                FROM documents)
+        ) WHERE rn <= 20
+    """,
+    "doc_dup_spans": """
+        WITH nums AS (
+          SELECT unnest(generate_series(
+            1, (SELECT MAX(length(text)) FROM documents))) AS i
+        ),
+        grams AS (
+          SELECT d.doc_id, n.i - 1 AS pos, substr(d.text, n.i, 30) AS g
+          FROM documents d JOIN nums n ON n.i <= length(d.text) - 29
+        ),
+        dups AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+        hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dups)),
+        marked AS (
+          SELECT doc_id, pos,
+            CASE WHEN pos <= max(pos + 30) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 THEN 0 ELSE 1 END AS brk
+          FROM hits
+        ),
+        islands AS (
+          SELECT doc_id, pos,
+                 SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+          FROM marked
+        )
+        SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 30 AS span_end,
+               MAX(pos) + 30 - MIN(pos) AS span_len
+        FROM islands GROUP BY doc_id, island
     """,
     "doc_length_quantiles": """
         SELECT lang, median(CAST(n_chars AS DOUBLE)) AS median_chars,
@@ -1893,15 +1966,5 @@ ORACLES: dict[str, str] = {
         SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q,
                unnest(vs) AS value, n
         FROM s
-    """,
-    "doc_stratified_sample": """
-        SELECT doc_id, lang, h, rn AS rank FROM (
-          SELECT doc_id, lang, h,
-                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h DESC, doc_id) AS rn
-          FROM (SELECT doc_id, lang,
-                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
-                            % 9223372036854775808 AS BIGINT) AS h
-                FROM documents)
-        ) WHERE rn <= 20
     """,
 }

@@ -268,10 +268,11 @@ def test_cumulative_revenue_matches_duckdb(ray_session):
 def test_doc_sample_deterministic(ray_session):
     from geojson_vt_ray.ray_pipeline.entry_queries import QUERIES
 
-    a = _norm(QUERIES["doc_sample"](SF).to_pandas())
-    b = _norm(QUERIES["doc_sample"](SF).to_pandas())
+    a = _norm(QUERIES["doc_samples"](SF).to_pandas())
+    b = _norm(QUERIES["doc_samples"](SF).to_pandas())
     pd.testing.assert_frame_equal(a, b, check_exact=True)
-    assert 0 < len(a) < 500  # ~10% of the table
+    hash10 = a[a["kind"] == "hash10"]
+    assert 0 < len(hash10) < 500  # ~10% of the table
 
 
 def test_length_quantiles_matches_duckdb(ray_session):
@@ -293,17 +294,19 @@ def test_length_quantiles_matches_duckdb(ray_session):
 def test_stratified_sample_matches_duckdb(ray_session):
     from geojson_vt_ray.ray_pipeline.entry_queries import ORACLES, QUERIES
 
-    got = _norm(QUERIES["doc_stratified_sample"](SF).to_pandas())
+    got = _norm(QUERIES["doc_samples"](SF).to_pandas())
     want = _norm(
         duckdb.connect()
         .execute(
-            ORACLES["doc_stratified_sample"].replace(
+            ORACLES["doc_samples"].replace(
                 "FROM documents", f"FROM '{SF}/documents.parquet'"
             )
         )
         .df()
     )
     want["rank"] = want["rank"].astype(np.int64)
+    want["h"] = want["h"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want, check_exact=True)
     # every language stratum is capped at 20
-    assert (got.groupby("lang").size() <= 20).all()
+    strat = got[got["kind"] == "strat20"]
+    assert (strat.groupby("lang").size() <= 20).all()
