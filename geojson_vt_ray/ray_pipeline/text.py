@@ -1693,6 +1693,7 @@ def duplicate_spans(
     docs: "ray.data.Dataset",
     min_len: int = 30,
     n_partitions: int = 256,
+    winnow: int = 1,
 ) -> "ray.data.Dataset":
     """Exact substring-duplicate SPANS per document: every maximal byte
     range covered by length-``min_len`` windows that occur >= 2 times
@@ -1713,16 +1714,30 @@ def duplicate_spans(
        and merge overlapping-or-touching ``[pos, pos+min_len)`` intervals
        with a vectorized running-max pass.
 
-    Scale notes: the window shuffle ships ~``min_len`` bytes per corpus
-    byte — linear, like the reference suffix array's 8·n machine words,
-    and bounded-dispatch throughout. For >>10 TB corpora the standard
-    levers compose upstream: stride the windows (stride s divides volume
-    by s; detection granularity coarsens to spans >= min_len+s-1) or
-    pre-filter with a first hash-only pass so only candidate windows ship
-    bytes. Output: (doc_id, span_start, span_end, span_len) with
-    span_end exclusive.
+    Scale notes: at ``winnow=1`` (exact mode) the window shuffle ships
+    ~``min_len`` bytes per corpus byte — linear, like the reference
+    suffix array's 8·n machine words, and bounded-dispatch throughout.
+    For >>10 TB corpora set ``winnow=w`` (winnowing, Schleimer et al.,
+    SIGMOD 2003): only windows whose rolling hash is minimal within some
+    run of ``w`` consecutive windows are shipped — expected volume drops
+    ~w/2-fold (2/(w+1) of windows selected) and the selection is
+    CONTENT-DEFINED, so both copies of a duplicated region select the
+    same windows regardless of alignment (a naive position stride would
+    sample mismatched windows and miss every unaligned duplicate).
+    Guarantee: every duplicated substring of length >= min_len + w - 1
+    is detected; verification stays exact byte equality (no false
+    positives); reported span boundaries are conservative (contained in
+    the exact spans, start up to w-1 bytes late / end up to w-1 bytes
+    early). On corpora dominated by bare-minimum-length coincidental
+    matches the winnowed span COUNT can exceed the exact count — exact
+    spans fragment where uncoordinated selections drop interior windows
+    — while every region >= min_len + w - 1 is still caught. Output:
+    (doc_id, span_start, span_end, span_len) with span_end exclusive.
     """
     L = int(min_len)
+    W = int(winnow)
+    if not (1 <= W <= L):
+        raise ValueError(f"winnow must be in [1, min_len], got {winnow}")
 
     def window_stage(batch: pa.Table) -> pa.Table:
         from .blocking import mix_to_partitions
@@ -1738,6 +1753,27 @@ def duplicate_spans(
                 }
             )
         h = _window_hashes(starts, data, L)
+        if W > 1:
+            # winnowing: keep a window iff its hash is the (leftmost)
+            # minimum of some run of W consecutive windows OF THE SAME
+            # DOC. sliding_window_view per doc run; ties resolve leftmost
+            # in both copies of a duplicated region (equal hashes there
+            # mean equal content, so the relative selection matches).
+            keep_idx: list[np.ndarray] = []
+            run_starts = np.flatnonzero(
+                np.r_[True, doc_idx[1:] != doc_idx[:-1]]
+            )
+            run_ends = np.r_[run_starts[1:], len(doc_idx)]
+            for rs, re_ in zip(run_starts, run_ends):
+                m = re_ - rs
+                if m <= W:
+                    keep_idx.append(np.array([rs + int(np.argmin(h[rs:re_]))]))
+                    continue
+                sw = np.lib.stride_tricks.sliding_window_view(h[rs:re_], W)
+                sel = np.unique(sw.argmin(axis=1) + np.arange(m - W + 1)) + rs
+                keep_idx.append(sel)
+            ki = np.concatenate(keep_idx)
+            starts, doc_idx, pos, h = starts[ki], doc_idx[ki], pos[ki], h[ki]
         mat = data[starts[:, None] + np.arange(L)]
         win = pa.FixedSizeBinaryArray.from_buffers(
             pa.binary(L), len(starts), [None, pa.py_buffer(np.ascontiguousarray(mat).tobytes())]
@@ -1753,8 +1789,29 @@ def duplicate_spans(
         )
 
     _EMPTY_HITS = pa.table(
-        {"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())}
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "e": pa.array([], pa.int64()),
+        }
     )
+
+    def _merge_intervals(doc: np.ndarray, s: np.ndarray, e: np.ndarray):
+        """Merge overlapping-or-touching [s, e) intervals per doc —
+        vectorized running-max over (doc, s)-sorted rows. The touch-merge
+        relation is associative, so partial merges inside dup_scan and the
+        global merge in merge_spans compose to the identical span set."""
+        order = np.lexsort((s, doc))
+        doc, s, e = doc[order], s[order], e[order]
+        seg = np.concatenate(([0], np.cumsum(doc[1:] != doc[:-1])))
+        OFF = np.int64(1) << np.int64(40)  # > any document length
+        adj = s + seg * OFF
+        adj_end = e + seg * OFF
+        prev_max_end = np.concatenate(
+            ([np.int64(-1)], np.maximum.accumulate(adj_end)[:-1])
+        )
+        first = np.flatnonzero(adj > prev_max_end)  # touching intervals merge
+        return doc[first], s[first], np.maximum.reduceat(e, first)
 
     def dup_scan(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -1770,10 +1827,19 @@ def duplicate_spans(
         keep = cnt[inv] >= 2
         if not keep.any():
             return _EMPTY_HITS
+        # pre-merge this partition's hits into intervals before they
+        # shuffle again: on duplicate-dense corpora contiguous windows
+        # collapse ~L-fold (the second shuffle moves spans, not windows);
+        # interval touch-merge is associative so the global result is
+        # unchanged
+        doc = group.column("doc_id").to_numpy()[keep]
+        pos = group.column("pos").to_numpy()[keep]
+        mdoc, ms, me = _merge_intervals(doc, pos, pos + L)
         return pa.table(
             {
-                "doc_id": group.column("doc_id").filter(pa.array(keep)),
-                "pos": group.column("pos").filter(pa.array(keep)),
+                "doc_id": pa.array(mdoc),
+                "s": pa.array(ms),
+                "e": pa.array(me),
             }
         )
 
@@ -1805,25 +1871,14 @@ def duplicate_spans(
         n = group.num_rows
         if n == 0:
             return _EMPTY_SPANS
-        doc = group.column("doc_id").to_numpy()
-        pos = group.column("pos").to_numpy()
-        order = np.lexsort((pos, doc))
-        doc, pos = doc[order], pos[order]
-        end = pos + L
-        seg = np.concatenate(([0], np.cumsum(doc[1:] != doc[:-1])))
-        OFF = np.int64(1) << np.int64(40)  # > any document length
-        adj = pos + seg * OFF
-        adj_end = end + seg * OFF
-        prev_max_end = np.concatenate(
-            ([np.int64(-1)], np.maximum.accumulate(adj_end)[:-1])
+        doc, span_start, span_end = _merge_intervals(
+            group.column("doc_id").to_numpy(),
+            group.column("s").to_numpy(),
+            group.column("e").to_numpy(),
         )
-        new_island = adj > prev_max_end  # touching intervals merge
-        first = np.flatnonzero(new_island)
-        span_start = pos[first]
-        span_end = np.maximum.reduceat(end, first)
         return pa.table(
             {
-                "doc_id": pa.array(doc[first]),
+                "doc_id": pa.array(doc),
                 "span_start": pa.array(span_start),
                 "span_end": pa.array(span_end),
                 "span_len": pa.array(span_end - span_start),

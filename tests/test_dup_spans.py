@@ -130,3 +130,55 @@ def test_duplicate_spans_matches_duckdb_oracle(ray_session):
     }
     assert got == {tuple(r) for r in oracle}
     assert len(got) > 0
+
+
+def test_duplicate_spans_winnowed_detects_unaligned_duplicates(ray_session):
+    """winnow=w ships ~2/(w+1) of the windows yet must still detect every
+    duplicated region of length >= L + w - 1 — including duplicates at
+    DIFFERENT byte offsets in their documents (the case a naive position
+    stride misses), with reported spans contained in the exact spans."""
+    import ray
+
+    from geojson_vt_ray.ray_pipeline.text import duplicate_spans
+
+    L, W = 20, 8
+    texts = _make_corpus(seed=23, n=50)
+    # force unaligned placements of a long shared passage
+    passage = "winnowing selects content defined fingerprints deterministically"
+    assert len(passage) >= L + W - 1
+    texts[100] = "a" * 7 + passage + " tail one xx"
+    texts[101] = "bcdefghijklmn " + passage + " tail twoo"
+
+    def run(w):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(texts.keys()), pa.int64()),
+                    "text": pa.array(list(texts.values()), pa.string()),
+                }
+            )
+        )
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in duplicate_spans(ds, min_len=L, n_partitions=16, winnow=w).iter_rows()
+        }
+
+    exact = run(1)
+    winnowed = run(W)
+    assert exact == _brute_spans(texts, L)
+    # no false positives: every winnowed span lies inside an exact span
+    for d, s, e in winnowed:
+        assert any(
+            d == d2 and s >= s2 and e <= e2 for d2, s2, e2 in exact
+        ), (d, s, e)
+    # the planted unaligned passage is detected in BOTH docs
+    for did in (100, 101):
+        assert any(d == did for d, _, _ in winnowed), did
+    # boundary slack: the winnowed span covers the passage interior
+    for did in (100, 101):
+        off = texts[did].index(passage)
+        spans = [(s, e) for d, s, e in winnowed if d == did]
+        assert any(
+            s <= off + W - 1 and e >= off + len(passage) - (W - 1)
+            for s, e in spans
+        ), (did, spans)
