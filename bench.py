@@ -357,6 +357,10 @@ def run_benchmarks() -> dict:
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
     timed("doc_minhash_lsh", lambda: minhash_candidate_pairs(docs).count())
 
+    from geojson_vt_ray.ray_pipeline.text import duplicate_spans
+
+    timed("doc_dup_spans", lambda: duplicate_spans(docs, min_len=30).count())
+
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])

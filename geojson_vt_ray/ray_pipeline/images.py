@@ -21,6 +21,46 @@ from ..datagen.images import (
 )
 
 
+IMAGE_SCHEMA = {
+    "image_id": pa.string(),
+    "bytes": pa.binary(),
+    "w": pa.int32(),
+    "h": pa.int32(),
+    "fmt": pa.string(),
+    "caption": pa.string(),
+    "phash": pa.int64(),
+}
+
+
+def read_image_table(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Read a stored image+caption table (the input_hint schema) as a
+    streaming Dataset: a ``.lance`` dataset when the `lance` package is
+    available, otherwise Parquet written with the identical columns — the
+    storage stand-in this sandbox tests with (SURVEY.md §6). Column
+    pruning pushes down either way; the declared columns are validated
+    against IMAGE_SCHEMA so a drifted table fails loudly at the read, not
+    deep inside a join."""
+    if path.rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:  # pragma: no cover - lance not in this env
+            raise ImportError(
+                "reading a .lance dataset requires the `lance` package; "
+                "re-point at the Parquet twin or install pylance"
+            ) from e
+        ds = ray.data.read_lance(path, columns=columns)  # pragma: no cover
+    else:
+        ds = ray.data.read_parquet(path, columns=columns)
+    schema = ds.schema()
+    for name, typ in zip(schema.names, schema.types):
+        want = IMAGE_SCHEMA.get(name)
+        if want is not None and typ != want:
+            raise TypeError(
+                f"image table column {name!r} is {typ}, input_hint wants {want}"
+            )
+    return ds
+
+
 def image_dataset(n: int, with_bytes: bool = True, override_num_blocks: int | None = None) -> "ray.data.Dataset":
     """Distributed deterministic synthesis of the n-row image table."""
 

@@ -209,3 +209,40 @@ def test_pip_join_world_flat_index_matches_bruteforce(ray_session):
             expected.add((f"img-{i:012d}", int(rects["rect_id"][j])))
     assert got == expected
     assert len(expected) > 0
+
+
+def test_read_image_table_parquet_and_schema_guard(ray_session, tmp_path):
+    """read_image_table streams the Parquet twin of the Lance input_hint
+    table with pushdown column pruning and fails loudly on schema drift."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from geojson_vt_ray.datagen.images import synth_image_table
+    from geojson_vt_ray.ray_pipeline.images import read_image_table
+
+    t = synth_image_table(np.arange(64), with_bytes=True)
+    p = str(tmp_path / "images.parquet")
+    pq.write_table(t, p)
+
+    ds = read_image_table(p, columns=["image_id", "phash"])
+    assert set(ds.schema().names) == {"image_id", "phash"}
+    assert ds.count() == 64
+
+    full = read_image_table(p)
+    row = full.take(1)[0]
+    assert {"image_id", "bytes", "w", "h", "fmt", "caption", "phash"} <= set(row)
+
+    # schema drift: w stored as int64 must be rejected
+    bad = t.set_column(
+        t.schema.get_field_index("w"),
+        "w",
+        t.column("w").cast(pa.int64()),
+    )
+    pbad = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, pbad)
+    with pytest.raises(TypeError, match="input_hint"):
+        read_image_table(pbad)
+
+    # a .lance path without the lance package is a clear ImportError
+    with pytest.raises((ImportError, TypeError)):
+        read_image_table(str(tmp_path / "images.lance"))
