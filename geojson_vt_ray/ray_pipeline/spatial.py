@@ -52,83 +52,98 @@ def with_tile_xy(images: "ray.data.Dataset", z: int) -> "ray.data.Dataset":
     return images.map_batches(fn, batch_format="pyarrow")
 
 
+def _build_rect_grid(rects: dict[str, np.ndarray], grid: int) -> dict[str, np.ndarray]:
+    """Driver-side x-interval grid over the rectangle layer, as flat primitive
+    arrays (vectorized span expansion — no per-rect Python loop) so the
+    broadcast hydrates as zero-copy plasma views in every task."""
+    rect_id = np.asarray(rects["rect_id"], dtype=np.int64)
+    x0 = np.asarray(rects["x0"], dtype=np.float64)
+    x1 = np.asarray(rects["x1"], dtype=np.float64)
+    c0 = np.clip((x0 * grid).astype(np.int64), 0, grid - 1)
+    c1 = np.clip((x1 * grid).astype(np.int64), 0, grid - 1)
+    span = c1 - c0 + 1
+    total = int(span.sum())
+    # entry j appears once per covered cell: cell_of = c0[j] .. c1[j]
+    owner = np.repeat(np.arange(len(rect_id), dtype=np.int64), span)
+    start_rep = np.repeat(c0, span)
+    base = np.repeat(np.concatenate(([0], np.cumsum(span)[:-1])), span)
+    cell_of = start_rep + (np.arange(total, dtype=np.int64) - base)
+    order = np.argsort(cell_of, kind="stable")
+    counts = np.bincount(cell_of, minlength=grid)
+    return {
+        "rect_id": rect_id,
+        "x0": x0,
+        "x1": x1,
+        "y0": np.asarray(rects["y0"], dtype=np.float64),
+        "y1": np.asarray(rects["y1"], dtype=np.float64),
+        "cell_offsets": np.concatenate(([0], np.cumsum(counts))),
+        "cell_rects": owner[order],
+    }
+
+
 def rect_contain_join(
     points: "ray.data.Dataset", rects: dict[str, np.ndarray], grid: int = 512
 ) -> "ray.data.Dataset":
     """images × rectangle layer containment join (broadcast small side).
 
     Emits (image_id, rect_id) pairs where the image's mercator point lies in
-    [x0, x1) × [y0, y1). An x-axis interval grid over the rectangles is
-    built once per actor: each point only tests the rects registered in its
-    grid cell (identical comparisons on a pruned candidate set), so the
-    per-batch work is O(points × rects-per-cell) instead of
-    O(points × rects).
+    [x0, x1) × [y0, y1). The x-axis interval grid over the rectangles is
+    built ONCE driver-side (`_build_rect_grid`) and broadcast as flat
+    primitive arrays; tasks hydrate it via `_cached_get` (zero-copy plasma
+    views). Task-based — parallelism follows the cluster immediately
+    instead of paying the actor-pool's lazy ramp-up. Each point only tests
+    the rects registered in its grid cell (identical comparisons on a
+    pruned candidate set), so the per-batch work is
+    O(points × rects-per-cell) instead of O(points × rects).
     """
-    rects_ref = ray.put(rects)
+    index_ref = ray.put(_build_rect_grid(rects, grid))
 
-    class RectJoin:
-        def __init__(self) -> None:
-            r = ray.get(rects_ref)
-            self.rect_id = r["rect_id"]
-            self.x0, self.x1 = r["x0"], r["x1"]
-            self.y0, self.y1 = r["y0"], r["y1"]
-            self.grid = grid
-            c0 = np.clip((self.x0 * grid).astype(np.int64), 0, grid - 1)
-            c1 = np.clip((self.x1 * grid).astype(np.int64), 0, grid - 1)
-            counts = np.zeros(grid, dtype=np.int64)
-            for j in range(len(self.rect_id)):
-                counts[c0[j] : c1[j] + 1] += 1
-            self.cell_offsets = np.concatenate(([0], np.cumsum(counts)))
-            flat = np.empty(self.cell_offsets[-1], dtype=np.int64)
-            cursor = self.cell_offsets[:-1].copy()
-            for j in range(len(self.rect_id)):
-                for c in range(c0[j], c1[j] + 1):
-                    flat[cursor[c]] = j
-                    cursor[c] += 1
-            self.cell_rects = flat
+    def stage(batch: pa.Table) -> pa.Table:
+        from ..datagen.images import mercator_xy
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from ..datagen.images import mercator_xy
-
-            mx, my = mercator_xy(batch.column("phash").to_numpy())
-            ids = batch.column("image_id")
-            cells = np.clip((mx * self.grid).astype(np.int64), 0, self.grid - 1)
-            order = np.argsort(cells, kind="stable")
-            sc = cells[order]
-            starts = np.nonzero(np.concatenate(([True], sc[1:] != sc[:-1])))[0]
-            starts = np.append(starts, len(sc))
-            out_idx: list[np.ndarray] = []
-            out_rect: list[np.ndarray] = []
-            for bi in range(len(starts) - 1):
-                sl = order[starts[bi] : starts[bi + 1]]
-                c = sc[starts[bi]]
-                cand = self.cell_rects[self.cell_offsets[c] : self.cell_offsets[c + 1]]
-                if not len(cand):
-                    continue
-                pxc = mx[sl][:, None]
-                pyc = my[sl][:, None]
-                mask = (
-                    (pxc >= self.x0[cand][None, :])
-                    & (pxc < self.x1[cand][None, :])
-                    & (pyc >= self.y0[cand][None, :])
-                    & (pyc < self.y1[cand][None, :])
-                )
-                pi, pj = np.nonzero(mask)
-                if len(pi):
-                    out_idx.append(sl[pi])
-                    out_rect.append(self.rect_id[cand[pj]].astype(np.int64))
-            if not out_idx:
-                return pa.table(
-                    {"image_id": pa.array([], pa.string()), "rect_id": pa.array([], pa.int64())}
-                )
-            col = ids.take(pa.array(np.concatenate(out_idx)))
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            return pa.table(
-                {"image_id": col, "rect_id": pa.array(np.concatenate(out_rect))}
+        idx = _cached_get(index_ref)
+        rect_id = idx["rect_id"]
+        x0, x1, y0, y1 = idx["x0"], idx["x1"], idx["y0"], idx["y1"]
+        cell_offsets, cell_rects = idx["cell_offsets"], idx["cell_rects"]
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        ids = batch.column("image_id")
+        cells = np.clip((mx * grid).astype(np.int64), 0, grid - 1)
+        order = np.argsort(cells, kind="stable")
+        sc = cells[order]
+        starts = np.nonzero(np.concatenate(([True], sc[1:] != sc[:-1])))[0]
+        starts = np.append(starts, len(sc))
+        out_idx: list[np.ndarray] = []
+        out_rect: list[np.ndarray] = []
+        for bi in range(len(starts) - 1):
+            sl = order[starts[bi] : starts[bi + 1]]
+            c = sc[starts[bi]]
+            cand = cell_rects[cell_offsets[c] : cell_offsets[c + 1]]
+            if not len(cand):
+                continue
+            pxc = mx[sl][:, None]
+            pyc = my[sl][:, None]
+            mask = (
+                (pxc >= x0[cand][None, :])
+                & (pxc < x1[cand][None, :])
+                & (pyc >= y0[cand][None, :])
+                & (pyc < y1[cand][None, :])
             )
+            pi, pj = np.nonzero(mask)
+            if len(pi):
+                out_idx.append(sl[pi])
+                out_rect.append(rect_id[cand[pj]])
+        if not out_idx:
+            return pa.table(
+                {"image_id": pa.array([], pa.string()), "rect_id": pa.array([], pa.int64())}
+            )
+        col = ids.take(pa.array(np.concatenate(out_idx)))
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table(
+            {"image_id": col, "rect_id": pa.array(np.concatenate(out_rect))}
+        )
 
-    return points.map_batches(RectJoin, batch_format="pyarrow", concurrency=(1, 32))
+    return points.map_batches(stage, batch_format="pyarrow")
 
 
 def knn_join(
@@ -149,51 +164,51 @@ def knn_join(
     qmx, qmy = mercator_xy(query_phash)
     refs = ray.put((qmx, qmy, np.asarray(query_ids)))
 
-    class PartialKnn:
-        def __init__(self) -> None:
-            self.qmx, self.qmy, self.qids = ray.get(refs)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mx, my = mercator_xy(batch.column("phash").to_numpy())
-            dx = mx[None, :] - self.qmx[:, None]
-            dy = my[None, :] - self.qmy[:, None]
-            d2 = dx * dx + dy * dy  # (Q, B)
-            ids_arr = batch.column("image_id")
-            if isinstance(ids_arr, pa.ChunkedArray):
-                ids_arr = ids_arr.combine_chunks()
-            out_q: list[np.ndarray] = []
-            out_n: list[pa.Array] = []
-            out_d: list[np.ndarray] = []
-            kk = min(k + 1 if exclude_self else k, d2.shape[1])
-            for qi in range(d2.shape[0]):
-                if kk < d2.shape[1]:
-                    part = np.argpartition(d2[qi], kk - 1)[:kk]
-                    # widen to all boundary ties so batch-local selection is
-                    # deterministic (the global merge breaks ties by id)
-                    thresh = d2[qi, part].max()
-                    part = np.nonzero(d2[qi] <= thresh)[0]
-                else:
-                    part = np.arange(d2.shape[1])
-                out_q.append(np.full(len(part), self.qids[qi], dtype=np.int64))
-                out_n.append(ids_arr.take(pa.array(part)))
-                out_d.append(d2[qi, part])
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.string()),
-                        "d2": pa.array([], pa.float64()),
-                    }
-                )
+    def partial_knn(batch: pa.Table) -> pa.Table:
+        # task-based with a per-worker cached broadcast (`_cached_get`):
+        # parallelism follows the cluster from the first batch instead of
+        # the actor pool's lazy ramp-up.
+        bqmx, bqmy, bqids = _cached_get(refs)
+        mx, my = mercator_xy(batch.column("phash").to_numpy())
+        dx = mx[None, :] - bqmx[:, None]
+        dy = my[None, :] - bqmy[:, None]
+        d2 = dx * dx + dy * dy  # (Q, B)
+        ids_arr = batch.column("image_id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        out_q: list[np.ndarray] = []
+        out_n: list[pa.Array] = []
+        out_d: list[np.ndarray] = []
+        kk = min(k + 1 if exclude_self else k, d2.shape[1])
+        for qi in range(d2.shape[0]):
+            if kk < d2.shape[1]:
+                part = np.argpartition(d2[qi], kk - 1)[:kk]
+                # widen to all boundary ties so batch-local selection is
+                # deterministic (the global merge breaks ties by id)
+                thresh = d2[qi, part].max()
+                part = np.nonzero(d2[qi] <= thresh)[0]
+            else:
+                part = np.arange(d2.shape[1])
+            out_q.append(np.full(len(part), bqids[qi], dtype=np.int64))
+            out_n.append(ids_arr.take(pa.array(part)))
+            out_d.append(d2[qi, part])
+        if not out_q:
             return pa.table(
                 {
-                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
-                    "neighbor_id": pa.concat_arrays(out_n),
-                    "d2": pa.array(np.concatenate(out_d), pa.float64()),
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.string()),
+                    "d2": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.concat_arrays(out_n),
+                "d2": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
 
-    partial = points.map_batches(PartialKnn, batch_format="pyarrow", concurrency=(1, 32))
+    partial = points.map_batches(partial_knn, batch_format="pyarrow")
 
     import pyarrow.compute as pc
 
