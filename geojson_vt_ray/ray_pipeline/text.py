@@ -420,29 +420,43 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return (v.sum(axis=1) >> np.uint64(1)).astype(np.int64)
 
 
+_MINHASHER_CACHE: dict[tuple[int, int], "MinHasher"] = {}
+
+
+def _cached_minhasher(n_perm: int, shingle_k: int) -> "MinHasher":
+    """Per-worker-process MinHasher cache: MinHasher is deterministically
+    seeded so every worker holds bit-identical permutation params, and the
+    TokenHasher's bounded vocabulary cache persists across batches exactly
+    as it did when the stage was an actor."""
+    key = (n_perm, shingle_k)
+    if key not in _MINHASHER_CACHE:
+        _MINHASHER_CACHE.clear()  # at most one config resident per worker
+        _MINHASHER_CACHE[key] = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+    return _MINHASHER_CACHE[key]
+
+
 def minhash_band_rows(
     docs: "ray.data.Dataset", n_perm: int = 64, bands: int = 16, shingle_k: int = 3
 ) -> "ray.data.Dataset":
     """doc → (band, band_hash, doc_id) rows; equal band_hash within a band ⇒
-    LSH candidate bucket."""
+    LSH candidate bucket. Task-based (parallelism follows the cluster from
+    the first batch — no actor-pool ramp-up) with the hasher state cached
+    per worker process."""
 
-    class BandStage:
-        def __init__(self) -> None:
-            self.mh = MinHasher(n_perm=n_perm, shingle_k=shingle_k)
+    def band_stage(batch: pa.Table) -> pa.Table:
+        mh = _cached_minhasher(n_perm, shingle_k)
+        doc_ids = batch.column("doc_id").to_numpy()
+        bh = band_hashes(mh.signatures_arrow(batch.column("text")), bands)
+        n_docs = len(doc_ids)
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n_docs)),
+                "band_hash": pa.array(bh.reshape(-1)),
+                "doc_id": pa.array(np.tile(doc_ids, bands)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids = batch.column("doc_id").to_numpy()
-            bh = band_hashes(self.mh.signatures_arrow(batch.column("text")), bands)
-            n_docs = len(doc_ids)
-            return pa.table(
-                {
-                    "band": pa.array(np.repeat(np.arange(bands, dtype=np.int32), n_docs)),
-                    "band_hash": pa.array(bh.reshape(-1)),
-                    "doc_id": pa.array(np.tile(doc_ids, bands)),
-                }
-            )
-
-    return docs.map_batches(BandStage, batch_format="pyarrow", concurrency=(1, 32))
+    return docs.map_batches(band_stage, batch_format="pyarrow")
 
 
 def minhash_candidate_pairs(
