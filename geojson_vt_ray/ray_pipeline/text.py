@@ -156,7 +156,12 @@ class QualityScorer:
 
 
 def quality_scores(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 32))
+    # task-based: the scorer's only state is a compiled regex + stopset —
+    # serialized once with the closure, hydrated per worker.
+    scorer = QualityScorer()
+    return docs.map_batches(
+        lambda batch, _s=scorer: _s(batch), batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------------------------ lang id
@@ -195,7 +200,9 @@ class LangId:
 
 
 def lang_id(docs: "ray.data.Dataset") -> "ray.data.Dataset":
-    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 32))
+    # task-based: classifier state is a shared regex + marker sets.
+    clf = LangId()
+    return docs.map_batches(lambda batch, _c=clf: _c(batch), batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- fingerprinting
@@ -204,21 +211,18 @@ def fingerprints(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Polynomial rolling hash over the token stream mod 2^61-1 (order
     sensitive — a document permutation changes the fingerprint)."""
 
-    class Fp:
-        def __init__(self) -> None:
-            self.hasher = TokenHasher(1)
+    def fp_stage(batch: pa.Table) -> pa.Table:
+        hasher = _cached_token_hasher(1)
+        texts = batch.column("text").to_pylist()
+        fps = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            h = 0
+            for th in hasher.token_hashes(t.split(" ")).tolist():
+                h = (h * 1_000_003 + th) % MERSENNE61
+            fps[i] = h
+        return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            texts = batch.column("text").to_pylist()
-            fps = np.empty(len(texts), dtype=np.int64)
-            for i, t in enumerate(texts):
-                h = 0
-                for th in self.hasher.token_hashes(t.split(" ")).tolist():
-                    h = (h * 1_000_003 + th) % MERSENNE61
-                fps[i] = h
-            return pa.table({"doc_id": batch.column("doc_id"), "fingerprint": pa.array(fps)})
-
-    return docs.map_batches(Fp, batch_format="pyarrow", concurrency=(1, 32))
+    return docs.map_batches(fp_stage, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------- exact dedup
@@ -418,6 +422,19 @@ def band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     rpb = n_perm // bands
     v = sig.reshape(bands, rpb, n_docs) * _PRIMES_U64[:rpb][None, :, None]
     return (v.sum(axis=1) >> np.uint64(1)).astype(np.int64)
+
+
+_TOKEN_HASHER_CACHE: dict[int, "TokenHasher"] = {}
+
+
+def _cached_token_hasher(k: int) -> "TokenHasher":
+    """Per-worker-process TokenHasher cache for task-based stages: hashing is
+    deterministic (md5), so tasks and actors produce identical output; the
+    bounded vocabulary cache stays warm across batches as it did per actor."""
+    if k not in _TOKEN_HASHER_CACHE:
+        _TOKEN_HASHER_CACHE.clear()  # at most one shingle size resident
+        _TOKEN_HASHER_CACHE[k] = TokenHasher(k)
+    return _TOKEN_HASHER_CACHE[k]
 
 
 _MINHASHER_CACHE: dict[tuple[int, int], "MinHasher"] = {}
@@ -706,35 +723,29 @@ def verify_jaccard_distributed(
             }
         )
 
-    class DocListStage:
-        """doc → (doc_id, shingle list) join-side rows; the token-hash
-        vocabulary cache lives per actor."""
-
-        def __init__(self) -> None:
-            self.hasher = TokenHasher(shingle_k)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column("doc_id").to_numpy().astype(np.int64)
-            sh = [self.hasher.shingles(t) for t in batch.column("text").to_pylist()]
-            lens = np.array([len(s) for s in sh], dtype=np.int64)
-            flat = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
-            n = len(ids)
-            z = np.zeros(n, dtype=np.int64)
-            return _join_schema(
-                mix_to_partitions(ids, n_partitions),
-                ids,
-                np.ones(n, dtype=np.int8),
-                z,
-                z,
-                # uint64→int64 view is bijective: only equality matters below
-                _list_of(flat.view(np.int64), lens),
-                _empty_list(n),
-            )
+    def doc_list_stage(batch: pa.Table) -> pa.Table:
+        # doc → (doc_id, shingle list) join-side rows; task-based with the
+        # token-hash vocabulary cache living per worker process.
+        hasher = _cached_token_hasher(shingle_k)
+        ids = batch.column("doc_id").to_numpy().astype(np.int64)
+        sh = [hasher.shingles(t) for t in batch.column("text").to_pylist()]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)
+        flat = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
+        n = len(ids)
+        z = np.zeros(n, dtype=np.int64)
+        return _join_schema(
+            mix_to_partitions(ids, n_partitions),
+            ids,
+            np.ones(n, dtype=np.int8),
+            z,
+            z,
+            # uint64→int64 view is bijective: only equality matters below
+            _list_of(flat.view(np.int64), lens),
+            _empty_list(n),
+        )
 
     def doc_rows(_docs: "ray.data.Dataset") -> "ray.data.Dataset":
-        return _docs.map_batches(
-            DocListStage, batch_format="pyarrow", concurrency=(1, 32)
-        )
+        return _docs.map_batches(doc_list_stage, batch_format="pyarrow")
 
     def pair_rows_a(batch: pa.Table) -> pa.Table:
         a = batch.column("doc_a").to_numpy().astype(np.int64)
@@ -935,27 +946,24 @@ def ngram_jaccard_pairs(
 
     from .blocking import assign_chunks, chunk_counts_for, replicate_blocks, scan_monsters
 
-    class ShingleStage:
-        def __init__(self) -> None:
-            self.hasher = TokenHasher(shingle_k)
+    def shingle_stage(batch: pa.Table) -> pa.Table:
+        hasher = _cached_token_hasher(shingle_k)
+        doc_ids = batch.column("doc_id").to_numpy()
+        sh_list = [hasher.shingles(t) for t in batch.column("text").to_pylist()]
+        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+        allsh = (
+            np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table(
+            {
+                # >>1 keeps the shuffle key in the positive int64 range
+                "shingle": pa.array((allsh >> np.uint64(1)).astype(np.int64)),
+                "doc_id": pa.array(np.repeat(doc_ids, lens)),
+                "set_size": pa.array(np.repeat(lens, lens)),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            doc_ids = batch.column("doc_id").to_numpy()
-            sh_list = [self.hasher.shingles(t) for t in batch.column("text").to_pylist()]
-            lens = np.array([len(s) for s in sh_list], dtype=np.int64)
-            allsh = (
-                np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
-            )
-            return pa.table(
-                {
-                    # >>1 keeps the shuffle key in the positive int64 range
-                    "shingle": pa.array((allsh >> np.uint64(1)).astype(np.int64)),
-                    "doc_id": pa.array(np.repeat(doc_ids, lens)),
-                    "set_size": pa.array(np.repeat(lens, lens)),
-                }
-            )
-
-    postings = docs.map_batches(ShingleStage, batch_format="pyarrow", concurrency=(1, 32))
+    postings = docs.map_batches(shingle_stage, batch_format="pyarrow")
 
     monsters = scan_monsters(postings, ["shingle"], posting_cap)
     monsters_ref = _ray.put(monsters)
@@ -1153,29 +1161,26 @@ def simhash_signatures(docs: "ray.data.Dataset", shingle_k: int = 2) -> "ray.dat
     per-doc ±1 sums via ``np.add.reduceat``; a bit is set when its per-doc
     accumulator is ≥ 0. Output is the signed-int64 reinterpretation."""
 
-    class Stage:
-        def __init__(self) -> None:
-            self.hasher = TokenHasher(shingle_k)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {"doc_id": batch.column("doc_id"), "simhash": pa.array([], pa.int64())}
-                )
-            sh_list = [self.hasher.shingles(t) for t in batch.column("text").to_pylist()]
-            lens = np.array([len(s) for s in sh_list], dtype=np.int64)
-            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-            allsh = np.concatenate(sh_list)
-            bits = ((allsh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                    & np.uint64(1)).astype(np.int64)
-            acc = np.add.reduceat(2 * bits - 1, offsets, axis=0)  # (n_docs, 64) ±1 sums
-            weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
-            sigs = ((acc >= 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+    def stage(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
             return pa.table(
-                {"doc_id": batch.column("doc_id"), "simhash": pa.array(sigs.astype(np.int64))}
+                {"doc_id": batch.column("doc_id"), "simhash": pa.array([], pa.int64())}
             )
+        hasher = _cached_token_hasher(shingle_k)
+        sh_list = [hasher.shingles(t) for t in batch.column("text").to_pylist()]
+        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+        offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        allsh = np.concatenate(sh_list)
+        bits = ((allsh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        acc = np.add.reduceat(2 * bits - 1, offsets, axis=0)  # (n_docs, 64) ±1 sums
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+        sigs = ((acc >= 0).astype(np.uint64) * weights[None, :]).sum(axis=1)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": pa.array(sigs.astype(np.int64))}
+        )
 
-    return docs.map_batches(Stage, batch_format="pyarrow", concurrency=(1, 32))
+    return docs.map_batches(stage, batch_format="pyarrow")
 
 
 def _popcount64(x: np.ndarray) -> np.ndarray:
