@@ -120,13 +120,19 @@ def run_benchmarks() -> dict:
         "features": polygon_layer.get("features", []) * rep,
     }
     def _run_pyramid() -> int:
-        return build_pyramid_fast(
+        ds = build_pyramid_fast(
             dataset_from_geojson(replicated),
             TilerOptions(max_zoom=14),
             z_handoff=6,
             drill_partitions=128,
             batch_size=32,  # parallelize the cascade on the small replicated input
-        ).count()
+        )
+        n = ds.count()
+        if os.environ.get("GRAFT_STATS"):
+            # per-stage wall/CPU/object-store breakdown for the headline —
+            # printed to stderr so the JSON contract on stdout is unchanged
+            print(ds.stats(), file=sys.stderr)
+        return n
 
     # The headline is THE graded number and this host is shared: a single
     # run can land inside another tenant's burst (BENCH_r03's 22.5 s vs
