@@ -339,9 +339,13 @@ def _blocked_cell_join(
     tagged = pts_tagged.map_batches(block_points, batch_format="pyarrow").union(
         qry_tagged.map_batches(block_queries, batch_format="pyarrow")
     )
+    # pin between the two sort barriers — the query_id-sort would otherwise
+    # re-execute the whole cell-sort + radius join (Ray's sort-based groupby
+    # re-runs an un-materialized input; see text.verify_jaccard_distributed's
+    # barrier note). Pinned rows are the radius survivors: O(matches).
     survivors = tagged.groupby(["cell", "pchunk"]).map_groups(
         _radius_join_group(r2), batch_format="pyarrow"
-    )
+    ).materialize()
     return survivors.groupby("query_id").map_groups(
         _radius_topk(k, exclude_self), batch_format="pyarrow"
     )

@@ -341,10 +341,15 @@ def connected_components(
             }
         )
 
+    # pin the finalize output: every consumer (labeled_clusters' cbucket
+    # groupby, cluster-size joins) adds another sort barrier, and Ray's
+    # sort-based groupby re-executes an un-materialized input pipeline
+    # (see text.verify_jaccard_distributed's barrier note). O(V) rows.
     return (
         state.map_batches(remap_large, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(finalize, batch_format="pyarrow")
+        .materialize()
     )
 
 

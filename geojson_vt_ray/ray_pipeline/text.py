@@ -91,6 +91,96 @@ class TokenHasher:
             acc += th[j : j + m] * _PRIMES_U64[j]
         return np.unique(acc)
 
+    def shingle_stream(
+        self, col: "pa.Array | pa.ChunkedArray"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """All shingle hashes of a batch, doc-contiguous, plus per-doc
+        start offsets — fully vectorized over the Arrow column.
+
+        Tokenize with Arrow's C++ split; md5 runs once per BATCH-UNIQUE
+        token (dictionary_encode) on top of the cross-batch cache; the
+        k-window wraparound dot products are k vectorized passes over
+        the flat token-hash array. Unlike the per-doc `shingles()` path
+        this does NOT dedup shingles within a doc (`distinct_shingle_lists`
+        adds that vectorized). Short docs (< k tokens) use the same
+        one-shingle expression as `shingles()`."""
+        import pyarrow.compute as pc
+
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(col, " ")
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        flat = toks.values
+        d = flat.dictionary_encode()
+        codes = d.indices.to_numpy().astype(np.int64)
+        uniq = d.dictionary.to_pylist()
+        cache = self._cache
+        if len(cache) > self.cache_cap:
+            cache.clear()
+        uh = np.empty(len(uniq), dtype=np.uint64)
+        for i, t in enumerate(uniq):
+            h = cache.get(t)
+            if h is None:
+                h = md5_u64(t.encode())
+                cache[t] = h
+            uh[i] = h
+        th = uh[codes]
+
+        k = self.k
+        n = np.diff(offs)  # tokens per doc (>= 1: split never yields [])
+        n_docs = len(n)
+        cnt = np.where(n >= k, n - k + 1, 1)  # shingles per doc
+        out_offs = np.concatenate(([0], np.cumsum(cnt)))
+        out = np.zeros(out_offs[-1], dtype=np.uint64)
+
+        # long docs: every in-doc window start, k wraparound-dot passes
+        doc_of = np.repeat(np.arange(n_docs), n)
+        pos_in_doc = np.arange(len(th)) - np.repeat(offs[:-1], n)
+        long_start = pos_in_doc <= np.repeat(n - k, n)  # n-k < 0 kills short docs
+        starts = np.nonzero(long_start)[0]
+        acc = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(k):
+            acc += th[starts + j] * _PRIMES_U64[j]
+        long_docs = np.nonzero(n >= k)[0]
+        m_long = cnt[long_docs]
+        dst = np.repeat(
+            out_offs[long_docs] - np.concatenate(([0], np.cumsum(m_long)[:-1])),
+            m_long,
+        ) + np.arange(int(m_long.sum()))
+        out[dst] = acc
+
+        # short docs (n < k): one shingle = sum(th[:n] * primes[:n])
+        short_docs = np.nonzero(n < k)[0]
+        if len(short_docs):
+            wp = _PRIMES_U64[np.minimum(pos_in_doc, k - 1)]
+            seg = np.add.reduceat(th * wp, offs[:-1])
+            out[out_offs[short_docs]] = seg[short_docs]
+        return out, out_offs[:-1]
+
+    def distinct_shingle_lists(
+        self, col: "pa.Array | pa.ChunkedArray"
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-doc SORTED-DISTINCT shingle hashes as (flat values, per-doc
+        lengths) — the whole-batch vectorized equivalent of
+        ``[self.shingles(t) for t in texts]`` (bit-identical sets AND order:
+        `shingles()` ends in np.unique, so both emit sorted-distinct). One
+        lexsort + one adjacent-equality pass replaces 10^6 tiny per-doc
+        np.unique calls; measured 312 us/doc -> ~15 us/doc on the dedup
+        chain corpus (the verify join side's dominant cost)."""
+        flat, offs = self.shingle_stream(col)
+        n_docs = len(offs)
+        cnt = np.diff(np.append(offs, len(flat)))
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+        order = np.lexsort((flat, doc_of))
+        fv = flat[order]
+        dv = doc_of[order]
+        if len(fv) == 0:
+            return fv, np.zeros(n_docs, dtype=np.int64)
+        keep = np.concatenate(
+            ([True], (dv[1:] != dv[:-1]) | (fv[1:] != fv[:-1]))
+        )
+        return fv[keep], np.bincount(dv[keep], minlength=n_docs)
+
 
 # ---------------------------------------------------------------- token stats
 
@@ -313,71 +403,13 @@ class MinHasher:
     def _shingle_stream(
         self, col: "pa.Array | pa.ChunkedArray"
     ) -> tuple[np.ndarray, np.ndarray]:
-        """All shingle hashes of a batch, doc-contiguous, plus per-doc
-        start offsets — fully vectorized over the Arrow column.
-
-        Tokenize with Arrow's C++ split; md5 runs once per BATCH-UNIQUE
-        token (dictionary_encode) on top of the cross-batch cache; the
-        k-window wraparound dot products are k vectorized passes over
-        the flat token-hash array.  Unlike the per-doc `shingles()`
-        path this does NOT dedup shingles within a doc: the signature
-        is a per-permutation MIN, which is invariant to duplicates, so
-        the result is bit-identical (pinned by the vectorized==per-doc
-        equality test) while skipping 10^6 tiny np.unique calls.
-        Short docs (< k tokens) use the same one-shingle expression as
-        `shingles()`."""
-        import pyarrow.compute as pc
-
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.split_pattern(col, " ")
-        offs = toks.offsets.to_numpy().astype(np.int64)
-        flat = toks.values
-        d = flat.dictionary_encode()
-        codes = d.indices.to_numpy().astype(np.int64)
-        uniq = d.dictionary.to_pylist()
-        cache = self.hasher._cache
-        if len(cache) > self.hasher.cache_cap:
-            cache.clear()
-        uh = np.empty(len(uniq), dtype=np.uint64)
-        for i, t in enumerate(uniq):
-            h = cache.get(t)
-            if h is None:
-                h = md5_u64(t.encode())
-                cache[t] = h
-            uh[i] = h
-        th = uh[codes]
-
-        k = self.hasher.k
-        n = np.diff(offs)  # tokens per doc (>= 1: split never yields [])
-        n_docs = len(n)
-        cnt = np.where(n >= k, n - k + 1, 1)  # shingles per doc
-        out_offs = np.concatenate(([0], np.cumsum(cnt)))
-        out = np.zeros(out_offs[-1], dtype=np.uint64)
-
-        # long docs: every in-doc window start, k wraparound-dot passes
-        doc_of = np.repeat(np.arange(n_docs), n)
-        pos_in_doc = np.arange(len(th)) - np.repeat(offs[:-1], n)
-        long_start = pos_in_doc <= np.repeat(n - k, n)  # n-k < 0 kills short docs
-        starts = np.nonzero(long_start)[0]
-        acc = np.zeros(len(starts), dtype=np.uint64)
-        for j in range(k):
-            acc += th[starts + j] * _PRIMES_U64[j]
-        long_docs = np.nonzero(n >= k)[0]
-        m_long = cnt[long_docs]
-        dst = np.repeat(
-            out_offs[long_docs] - np.concatenate(([0], np.cumsum(m_long)[:-1])),
-            m_long,
-        ) + np.arange(int(m_long.sum()))
-        out[dst] = acc
-
-        # short docs (n < k): one shingle = sum(th[:n] * primes[:n])
-        short_docs = np.nonzero(n < k)[0]
-        if len(short_docs):
-            wp = _PRIMES_U64[np.minimum(pos_in_doc, k - 1)]
-            seg = np.add.reduceat(th * wp, offs[:-1])
-            out[out_offs[short_docs]] = seg[short_docs]
-        return out, out_offs[:-1]
+        """All shingle hashes of a batch, doc-contiguous, plus per-doc start
+        offsets — `TokenHasher.shingle_stream` (the core moved there so the
+        verify/posting/simhash stages share it). Duplicate shingles are kept:
+        the signature is a per-permutation MIN, which is invariant to
+        duplicates, so the result is bit-identical to the per-doc path
+        (pinned by the vectorized==per-doc equality test)."""
+        return self.hasher.shingle_stream(col)
 
     def signatures_arrow(self, col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
         """(n_perm, n_docs) signature matrix straight from an Arrow string
@@ -645,14 +677,20 @@ def minhash_candidate_pairs(
             }
         )
 
-    return (
+    # Pin the pair rows between the two sort barriers: Ray's sort-based
+    # groupby re-executes an un-materialized input (sampling + exchange),
+    # so the dk-sort would re-run the whole pkey-sort + pair generation
+    # (measured 16x on a 2M-doc chained-groupby DAG; see
+    # verify_jaccard_distributed). The pin holds O(candidate pairs) rows —
+    # the same state the dk-sort holds anyway.
+    pairs = (
         band_rows.map_batches(block_stage, batch_format="pyarrow")
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(partition_pairs, batch_format="pyarrow")
-        .groupby("dk")
-        .map_groups(count_bands, batch_format="pyarrow")
+        .materialize()
     )
+    return pairs.groupby("dk").map_groups(count_bands, batch_format="pyarrow")
 
 
 def verify_jaccard_distributed(
@@ -725,12 +763,12 @@ def verify_jaccard_distributed(
 
     def doc_list_stage(batch: pa.Table) -> pa.Table:
         # doc → (doc_id, shingle list) join-side rows; task-based with the
-        # token-hash vocabulary cache living per worker process.
+        # token-hash vocabulary cache living per worker process. Whole-batch
+        # vectorized shingling (this stage dominated the verify wall at
+        # ~312 us/doc on the per-doc path).
         hasher = _cached_token_hasher(shingle_k)
         ids = batch.column("doc_id").to_numpy().astype(np.int64)
-        sh = [hasher.shingles(t) for t in batch.column("text").to_pylist()]
-        lens = np.array([len(s) for s in sh], dtype=np.int64)
-        flat = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
+        flat, lens = hasher.distinct_shingle_lists(batch.column("text"))
         n = len(ids)
         z = np.zeros(n, dtype=np.int64)
         return _join_schema(
@@ -856,14 +894,24 @@ def verify_jaccard_distributed(
             }
         )
 
+    # Pin the join-side rows and pass A's output before each sort barrier.
+    # Ray's sort-based groupby re-executes an un-materialized input pipeline
+    # (sampling pass + exchange), and with two CHAINED lazy groupbys the
+    # second sort re-runs the entire first — measured 37.4 s vs 2.3 s for
+    # an identical chained-groupby DAG with materialize barriers (8 CPUs,
+    # 2M docs). Both pins hold exactly the state the sort barrier holds
+    # anyway (O(docs·shingles) / O(pairs) rows in the object store, spill-
+    # backed), so peak footprint is unchanged — only re-execution is cut.
+    docs_side = doc_rows(docs).materialize()
     pass_a = (
-        doc_rows(docs)
+        docs_side
         .union(candidate_pairs.map_batches(pair_rows_a, batch_format="pyarrow"))
         .groupby("pk")
         .map_groups(join_a, batch_format="pyarrow")
+        .materialize()
     )
     return (
-        doc_rows(docs)
+        docs_side
         .union(pass_a)
         .groupby("pk")
         .map_groups(join_b_and_score, batch_format="pyarrow")
@@ -949,11 +997,7 @@ def ngram_jaccard_pairs(
     def shingle_stage(batch: pa.Table) -> pa.Table:
         hasher = _cached_token_hasher(shingle_k)
         doc_ids = batch.column("doc_id").to_numpy()
-        sh_list = [hasher.shingles(t) for t in batch.column("text").to_pylist()]
-        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
-        allsh = (
-            np.concatenate(sh_list) if sh_list else np.empty(0, dtype=np.uint64)
-        )
+        allsh, lens = hasher.distinct_shingle_lists(batch.column("text"))
         return pa.table(
             {
                 # >>1 keeps the shuffle key in the positive int64 range
@@ -1109,14 +1153,17 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return (
+    # pin between the two sort barriers — the dk-sort would otherwise
+    # re-execute the whole pkey-sort + pair generation (see
+    # verify_jaccard_distributed's barrier note; O(pairs) rows pinned)
+    pairs = (
         postings.map_batches(block_stage, batch_format="pyarrow")
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(partition_pairs, batch_format="pyarrow")
-        .groupby("dk")
-        .map_groups(count_and_finalize, batch_format="pyarrow")
+        .materialize()
     )
+    return pairs.groupby("dk").map_groups(count_and_finalize, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- BPE-ish tokenization
@@ -1167,10 +1214,8 @@ def simhash_signatures(docs: "ray.data.Dataset", shingle_k: int = 2) -> "ray.dat
                 {"doc_id": batch.column("doc_id"), "simhash": pa.array([], pa.int64())}
             )
         hasher = _cached_token_hasher(shingle_k)
-        sh_list = [hasher.shingles(t) for t in batch.column("text").to_pylist()]
-        lens = np.array([len(s) for s in sh_list], dtype=np.int64)
+        allsh, lens = hasher.distinct_shingle_lists(batch.column("text"))
         offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        allsh = np.concatenate(sh_list)
         bits = ((allsh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)).astype(np.int64)
         acc = np.add.reduceat(2 * bits - 1, offsets, axis=0)  # (n_docs, 64) ±1 sums
@@ -1492,14 +1537,17 @@ def hamming_near_dup_pairs(
             }
         )
 
-    return (
+    # pin between the two sort barriers — the dk-sort would otherwise
+    # re-execute the whole pkey-sort + pair generation (see
+    # verify_jaccard_distributed's barrier note; O(pairs) rows pinned)
+    pairs = (
         tagged.map_batches(block_stage, batch_format="pyarrow")
         .map_batches(add_pkey, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(partition_pairs, batch_format="pyarrow")
-        .groupby("dk")
-        .map_groups(final_dedup, batch_format="pyarrow")
+        .materialize()
     )
+    return pairs.groupby("dk").map_groups(final_dedup, batch_format="pyarrow")
 
 
 def simhash_near_dup_pairs(
@@ -1612,11 +1660,15 @@ def top_tokens(
             }
         )
 
+    # pin before the final sort — a lazy sort re-executes the groupby
+    # pipeline (sampling + exchange; see verify_jaccard_distributed's
+    # barrier note). The pinned set is tiny: ≤ P·k candidate rows.
     counts = (
         docs.select_columns(["text"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("pk")
         .map_groups(partition_topk, batch_format="pyarrow")
+        .materialize()
     )
     return counts.sort(["n", "token"], descending=[True, False]).limit(k)
 
@@ -1908,12 +1960,17 @@ def duplicate_spans(
             }
         )
 
-    return (
+    # pin between the window shuffle and the per-doc span shuffle — the
+    # dk-sort would otherwise re-execute the whole window sort + dup scan
+    # (see verify_jaccard_distributed's barrier note). The pinned rows are
+    # the pre-merged duplicate intervals: O(duplicated windows), already
+    # interval-compressed inside dup_scan.
+    hits = (
         docs.select_columns(["doc_id", "text"])
         .map_batches(window_stage, batch_format="pyarrow")
         .groupby("pkey")
         .map_groups(dup_scan, batch_format="pyarrow")
         .map_batches(add_dockey, batch_format="pyarrow")
-        .groupby("dk")
-        .map_groups(merge_spans, batch_format="pyarrow")
+        .materialize()
     )
+    return hits.groupby("dk").map_groups(merge_spans, batch_format="pyarrow")
