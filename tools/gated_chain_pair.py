@@ -59,11 +59,19 @@ def main() -> None:
         max_load = float(sys.argv[sys.argv.index("--max-load") + 1])
     if "--max-wait" in sys.argv:
         max_wait = float(sys.argv[sys.argv.index("--max-wait") + 1])
+    # --cpus A,B picks the N and 4N legs (default 4,16). 2,8 sits further
+    # below this box's DRAM roofline — the informative pair moves DOWN the
+    # ladder as the per-CPU code gets faster (BASELINE.md roofline notes).
+    legs = (4, 16)
+    if "--cpus" in sys.argv:
+        a, b = sys.argv[sys.argv.index("--cpus") + 1].split(",")
+        legs = (int(a), int(b))
+    assert legs[1] == 4 * legs[0], "pair must be N and 4N"
 
     pairs = []
     for i in range(n_pairs):
         rec: dict = {"pair": i}
-        for ncpu in (4, 16):
+        for ncpu in legs:
             gate_load = wait_idle(max_load, max_wait)
             leg = run_leg(ncpu, n_docs)
             rec[str(ncpu)] = {
@@ -83,23 +91,24 @@ def main() -> None:
                 abs(leg["clusters"] - leg["expected_clusters"])
                 <= max(16, leg["expected_clusters"] // 1000)
             ), leg
-        rec["efficiency_4_to_16"] = round(
-            (rec["4"]["sec"] / rec["16"]["sec"]) / 4, 3
+        lo, hi = str(legs[0]), str(legs[1])
+        rec["efficiency_n_to_4n"] = round(
+            (rec[lo]["sec"] / rec[hi]["sec"]) / 4, 3
         )
         rec["stage_efficiency"] = {
-            k: round((rec["4"]["stages"][k] / rec["16"]["stages"][k]) / 4, 3)
-            for k in rec["4"]["stages"]
+            k: round((rec[lo]["stages"][k] / rec[hi]["stages"][k]) / 4, 3)
+            for k in rec[lo]["stages"]
         }
         pairs.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
-                "metric": "idle-gated 4->16 dedup-chain pairs (fresh processes, "
-                f"legs gated on 1-min load < {max_load})",
+                "metric": f"idle-gated {legs[0]}->{legs[1]} dedup-chain pairs "
+                f"(fresh processes, legs gated on 1-min load < {max_load})",
                 "n_docs": n_docs,
                 "pairs": pairs,
-                "efficiencies": [p["efficiency_4_to_16"] for p in pairs],
+                "efficiencies": [p["efficiency_n_to_4n"] for p in pairs],
             }
         )
     )

@@ -53,11 +53,20 @@ def main() -> None:
         max_load = float(sys.argv[sys.argv.index("--max-load") + 1])
     if "--max-wait" in sys.argv:
         max_wait = float(sys.argv[sys.argv.index("--max-wait") + 1])
+    # --cpus A,B picks the N and 4N legs (default 4,16). 2,8 sits further
+    # below this box's DRAM roofline — the informative pair moves DOWN
+    # the ladder as the per-CPU code gets faster (BASELINE.md).
+    legs = (4, 16)
+    if "--cpus" in sys.argv:
+        a, b = sys.argv[sys.argv.index("--cpus") + 1].split(",")
+        legs = (int(a), int(b))
+    assert legs[1] == 4 * legs[0], "pair must be N and 4N"
 
     pairs = []
+    lo, hi = str(legs[0]), str(legs[1])
     for i in range(n_pairs):
         rec: dict = {"pair": i}
-        for ncpu in (4, 16):
+        for ncpu in legs:
             gate_load = wait_idle(max_load, max_wait)
             leg = run_leg(ncpu)
             rec[str(ncpu)] = {
@@ -66,18 +75,18 @@ def main() -> None:
                 "gate_load": round(gate_load, 2),
                 "load_after": leg.get("load_avg_after"),
             }
-        rec["efficiency_4_to_16"] = round(
-            (rec["4"]["sec"] / rec["16"]["sec"]) / 4, 3
+        rec["efficiency_n_to_4n"] = round(
+            (rec[lo]["sec"] / rec[hi]["sec"]) / 4, 3
         )
         pairs.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
     print(
         json.dumps(
             {
-                "metric": "idle-gated 4->16 pyramid pairs (fresh processes, "
-                f"legs gated on 1-min load < {max_load})",
+                "metric": f"idle-gated {legs[0]}->{legs[1]} pyramid pairs "
+                f"(fresh processes, legs gated on 1-min load < {max_load})",
                 "pairs": pairs,
-                "efficiencies": [p["efficiency_4_to_16"] for p in pairs],
+                "efficiencies": [p["efficiency_n_to_4n"] for p in pairs],
             }
         )
     )
