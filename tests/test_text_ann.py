@@ -535,3 +535,31 @@ def test_phash_near_dup_pairs_bruteforce_and_blocking(ray_session):
 
     assert run(cap=10**9) == truth
     assert run(cap=7) == truth  # forced triangle-blocking, same pairs
+
+
+def test_distinct_shingle_lists_matches_per_doc_shingles():
+    """The whole-batch vectorized distinct shingling (the verify join side /
+    ngram postings / SimHash hot path) is bit-identical — values AND order —
+    to the per-doc `shingles()` reference across shingle sizes and text
+    shapes (short docs, repeats, empty strings, duplicate shingles)."""
+    from geojson_vt_ray.ray_pipeline.text import TokenHasher
+
+    texts = [
+        "a b c d e",
+        "a a a",
+        "x",
+        "",
+        "one two",
+        "b a c a b c d",
+        "tok1 tok2 tok3 tok1 tok2 tok3",
+        "z " * 50 + "q",
+    ]
+    for k in (1, 2, 3, 5):
+        batch = TokenHasher(k)
+        flat, lens = batch.distinct_shingle_lists(pa.array(texts, pa.string()))
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        ref = TokenHasher(k)
+        for i, t in enumerate(texts):
+            want = ref.shingles(t)
+            got = flat[offs[i] : offs[i + 1]]
+            assert np.array_equal(want, got), (k, i)
