@@ -284,13 +284,20 @@ def connected_components(
     out = None
     rounds = 0
     for r in range(max_rounds):
+        # pin the remapped rows before the round's sort barrier — the sort
+        # re-executes a lazy input (sampling + exchange), doubling the remap
+        # pass per round (see text.verify_jaccard_distributed's barrier note)
         if r % 2 == 0:
-            staged = state.map_batches(remap_large, batch_format="pyarrow")
+            staged = state.map_batches(
+                remap_large, batch_format="pyarrow"
+            ).materialize()
             out = staged.groupby("bucket").map_groups(
                 large_fn, batch_format="pyarrow"
             ).materialize()
         else:
-            staged = state.map_batches(remap_small, batch_format="pyarrow")
+            staged = state.map_batches(
+                remap_small, batch_format="pyarrow"
+            ).materialize()
             out = staged.groupby("bucket").map_groups(
                 small_fn, batch_format="pyarrow"
             ).materialize()
